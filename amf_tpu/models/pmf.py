@@ -1,0 +1,388 @@
+"""MAP Probabilistic Matrix Factorization, TPU-native.
+
+Capability parity with the reference's ``ProbabilisticMatrixFactorization``
+(python-pmf/pmf.py:22-335 and its Cython twin pmf_cy.pyx:34-291): Gaussian
+likelihood with Gaussian priors on U and V, adaptive-learning-rate batch
+gradient ascent (``fit_lls``), an SGD minibatch variant with momentum and
+validation-based early stopping, and type-II ML updates of the noise/prior
+variances (``update_sigma``/``update_sigma_uv``).
+
+Architecture differences (deliberate, TPU-first):
+  * the ratings list + Python loop over nnz in ``gradient`` (pmf.py:132-149)
+    becomes one dense masked matmul pair — the MXU does the whole nnz sweep;
+  * the generator-based ``fit_lls`` becomes ``ops.adaptive_descent``
+    (a ``lax.while_loop``), preserving its accept/reject trajectory;
+  * state is an immutable pytree so lookahead can ``vmap`` over hypothesized
+    ratings instead of deepcopying models (active_pmf.py:668-676).
+
+Note: the reference's pure-python ``update_sigma_uv`` computes ``item_norm2``
+from ``self.users`` (a copy/paste bug, pmf.py:165); we follow the corrected
+Cython behavior (pmf_cy.pyx:243).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from amf_tpu.ops.linesearch import DescentInfo, adaptive_descent
+from amf_tpu.types import Problem
+
+
+class PMFConfig(NamedTuple):
+    """Static hyperparameters (reference defaults: pmf.py:26-41)."""
+
+    latent_d: int = 1
+    subtract_mean: bool = False
+    learning_rate: float = 1e-4
+    min_learning_rate: float = 1e-10
+    stop_thresh: float = 1e-2
+    max_fit_steps: int = 2000
+    # negative variance = no hyperprior on log sigma_{u,v}^2 (pmf.py:37-41)
+    sig_u_mean: float = 0.0
+    sig_u_var: float = -1.0
+    sig_v_mean: float = 0.0
+    sig_v_var: float = -1.0
+
+
+@struct.dataclass
+class PMFState:
+    U: jax.Array  # (n, d)
+    V: jax.Array  # (m, d)
+    sigma_sq: jax.Array
+    sigma_u_sq: jax.Array
+    sigma_v_sq: jax.Array
+    mean_rating: jax.Array
+
+
+def init_state(
+    key: jax.Array, n: int, m: int, cfg: PMFConfig, problem: Optional[Problem] = None,
+    dtype=jnp.float32,
+) -> PMFState:
+    """Uniform(0,1) factor init (reference: pmf.py:55-56), explicit PRNG."""
+    ku, kv = jax.random.split(key)
+    mean_rating = problem.mean_rating() if problem is not None else jnp.zeros((), dtype)
+    return PMFState(
+        U=jax.random.uniform(ku, (n, cfg.latent_d), dtype=dtype),
+        V=jax.random.uniform(kv, (m, cfg.latent_d), dtype=dtype),
+        sigma_sq=jnp.ones((), dtype),
+        sigma_u_sq=jnp.asarray(10.0, dtype),
+        sigma_v_sq=jnp.asarray(10.0, dtype),
+        mean_rating=jnp.asarray(mean_rating, dtype),
+    )
+
+
+def refresh_mean_rating(state: PMFState, problem: Problem) -> PMFState:
+    """Recompute the observed-mean after mask changes (pmf.py:90)."""
+    return state.replace(mean_rating=problem.mean_rating().astype(state.U.dtype))
+
+
+def predicted_matrix(state: PMFState, cfg: PMFConfig) -> jax.Array:
+    pred = state.U @ state.V.T
+    if cfg.subtract_mean:
+        pred = pred + state.mean_rating
+    return pred
+
+
+def log_likelihood(
+    state: PMFState, problem: Problem, cfg: PMFConfig,
+    U: Optional[jax.Array] = None, V: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Unnormalized log posterior (reference: pmf.py:104-121)."""
+    U = state.U if U is None else U
+    V = state.V if V is None else V
+    pred = U @ V.T
+    if cfg.subtract_mean:
+        pred = pred + state.mean_rating
+    err = jnp.where(problem.rated, problem.R_obs - pred, 0.0)
+    sq_error = jnp.sum(err * err)
+    return (
+        -sq_error / (2 * state.sigma_sq)
+        - jnp.sum(U * U) / (2 * state.sigma_u_sq)
+        - jnp.sum(V * V) / (2 * state.sigma_v_sq)
+    )
+
+
+def ll_prior_adjustment(state: PMFState, problem: Problem, cfg: PMFConfig) -> jax.Array:
+    """Variance-dependent normalization terms (reference: pmf.py:123-127)."""
+    n, m = problem.shape
+    d = cfg.latent_d
+    return -0.5 * (
+        jnp.log(state.sigma_sq) * problem.n_rated
+        + n * d * jnp.log(state.sigma_u_sq)
+        + m * d * jnp.log(state.sigma_v_sq)
+    )
+
+
+def gradient(
+    state: PMFState, problem: Problem, cfg: PMFConfig,
+    U: Optional[jax.Array] = None, V: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Closed-form ascent gradient; one masked residual + two matmuls
+    replace the reference's Python loop over ratings (pmf.py:132-149)."""
+    U = state.U if U is None else U
+    V = state.V if V is None else V
+    pred = U @ V.T
+    if cfg.subtract_mean:
+        pred = pred + state.mean_rating
+    resid = jnp.where(problem.rated, problem.R_obs - pred, 0.0) / state.sigma_sq
+    grad_u = resid @ V - U / state.sigma_u_sq
+    grad_v = resid.T @ U - V / state.sigma_v_sq
+    return grad_u, grad_v
+
+
+def fit(
+    state: PMFState, problem: Problem, cfg: PMFConfig,
+    max_steps: Optional[int] = None,
+) -> Tuple[PMFState, DescentInfo]:
+    """Batch MAP fit — the reference's ``fit_lls`` adaptive-LR ascent
+    (pmf.py:179-211) as a single compiled while-loop.
+
+    Matches the reference trajectory: gradient recomputed only on accepted
+    steps; lr grows 1.25x on accept, halves on reject; stops when an accepted
+    step improves by < stop_thresh or lr < min_learning_rate.
+    """
+    max_steps = cfg.max_fit_steps if max_steps is None else max_steps
+
+    def value_fn(uv):
+        return -log_likelihood(state, problem, cfg, U=uv[0], V=uv[1])
+
+    def grad_fn(uv):
+        gu, gv = gradient(state, problem, cfg, U=uv[0], V=uv[1])
+        return (gu, gv)
+
+    def step_fn(uv, g, lr):
+        return (uv[0] + lr * g[0], uv[1] + lr * g[1])
+
+    (U, V), info = adaptive_descent(
+        (state.U, state.V),
+        value_fn,
+        grad_fn,
+        step_fn,
+        lr0=cfg.learning_rate,
+        stop_thresh=cfg.stop_thresh,
+        min_lr=cfg.min_learning_rate,
+        max_steps=max_steps,
+    )
+    return state.replace(U=U, V=V), info
+
+
+def update_sigma(state: PMFState, problem: Problem, cfg: PMFConfig) -> PMFState:
+    """Type-II ML noise-variance update (reference: pmf.py:151-157)."""
+    pred = predicted_matrix(state, cfg)
+    err = jnp.where(problem.rated, problem.R_obs - pred, 0.0)
+    n_rated = jnp.maximum(problem.n_rated, 1)
+    return state.replace(sigma_sq=jnp.sum(err * err) / n_rated)
+
+
+def update_sigma_uv(state: PMFState, problem: Problem, cfg: PMFConfig) -> PMFState:
+    """Prior-variance updates (reference: pmf.py:159-177, corrected per
+    pmf_cy.pyx:243)."""
+    n, m = problem.shape
+    d = cfg.latent_d
+    user_norm2 = jnp.sum(state.U * state.U)
+    item_norm2 = jnp.sum(state.V * state.V)
+
+    if cfg.sig_u_var > 0:
+        denom_u = n * d + 2 + 2 * (
+            jnp.log(state.sigma_u_sq) - cfg.sig_u_mean
+        ) / cfg.sig_u_var
+        sigma_u_sq = user_norm2 / denom_u
+    else:
+        sigma_u_sq = user_norm2 / (n * d)
+
+    if cfg.sig_v_var > 0:
+        denom_v = m * d + 2 + 2 * (
+            jnp.log(state.sigma_v_sq) - cfg.sig_v_mean
+        ) / cfg.sig_v_var
+        sigma_v_sq = item_norm2 / denom_v
+    else:
+        sigma_v_sq = item_norm2 / (m * d)
+
+    return state.replace(sigma_u_sq=sigma_u_sq, sigma_v_sq=sigma_v_sq)
+
+
+def fit_with_sigmas(
+    state: PMFState, problem: Problem, cfg: PMFConfig,
+    max_outer: int = 25, max_steps: Optional[int] = None,
+) -> PMFState:
+    """Alternate factor fitting with sigma updates until the joint fit stops
+    improving.
+
+    The reference interleaves sigma updates every few accepted steps inside
+    the running generator (pmf.py:286-305); we alternate full inner fits with
+    sigma updates — same type-II ML fixed point, compiler-friendly loop.
+    """
+    max_steps = cfg.max_fit_steps if max_steps is None else max_steps
+
+    def body(carry):
+        st, _, outer = carry
+        st, info = fit(st, problem, cfg, max_steps=max_steps)
+        st = update_sigma(st, problem, cfg)
+        st = update_sigma_uv(st, problem, cfg)
+        return st, info.n_accepts, outer + 1
+
+    def cond(carry):
+        _, n_accepts, outer = carry
+        return jnp.logical_and(n_accepts > 1, outer < max_outer)
+
+    init = (state, jnp.int32(2 ** 30), jnp.int32(0))
+    st, _, _ = jax.lax.while_loop(cond, body, init)
+    return st
+
+
+# ---------------------------------------------------------------------------
+# Minibatch SGD path (reference: fit_minibatches* pmf.py:226-284)
+
+
+def _coo_gradient(state, cfg, ii, jj, rr, valid):
+    """Ascent gradient over a gathered COO minibatch (scatter-add form)."""
+    u_rows = state.U[ii]  # (b, d)
+    v_rows = state.V[jj]
+    pred = jnp.sum(u_rows * v_rows, axis=1)
+    if cfg.subtract_mean:
+        pred = pred + state.mean_rating
+    resid = jnp.where(valid, (rr - pred) / state.sigma_sq, 0.0)
+    grad_u = jnp.zeros_like(state.U).at[ii].add(resid[:, None] * v_rows)
+    grad_v = jnp.zeros_like(state.V).at[jj].add(resid[:, None] * u_rows)
+    grad_u = grad_u - state.U / state.sigma_u_sq
+    grad_v = grad_v - state.V / state.sigma_v_sq
+    return grad_u, grad_v
+
+
+def fit_minibatches_until_validation(
+    state: PMFState,
+    problem: Problem,
+    cfg: PMFConfig,
+    key: jax.Array,
+    batch_size: int,
+    valid_size: int,
+    lr: float = 1.0,
+    momentum: float = 0.8,
+    stop_thresh: float = 1e-3,
+    max_epochs: int = 500,
+) -> PMFState:
+    """Momentum SGD over shuffled rating minibatches with validation-based
+    early stopping (reference: pmf.py:226-284, fit type 'mini-valid').
+
+    The epoch loop is one compiled while-loop over a padded flat-cell
+    permutation (capacity = all cells; non-training cells masked out). The
+    validation subset is drawn host-side — this entry point is CLI-level, not
+    used inside the vmapped lookahead.  Each epoch reshuffles with the carried
+    PRNG key (the reference shuffles with global RNG, pmf.py:239).
+    """
+    import numpy as np
+
+    n, m = problem.shape
+    cap = n * m
+    flat_rated = np.asarray(problem.rated).ravel()
+    rated_idx = np.nonzero(flat_rated)[0]
+
+    kv, key = jax.random.split(key)
+    host_rng = np.random.default_rng(
+        np.asarray(jax.random.key_data(kv)).ravel()[-1]
+    )
+    valid_idx = jnp.asarray(
+        host_rng.choice(rated_idx, size=min(valid_size, rated_idx.size), replace=False)
+    )
+    valid_i, valid_j = valid_idx // m, valid_idx % m
+    valid_r = problem.R_obs.ravel()[valid_idx]
+
+    is_valid_cell = jnp.zeros((cap,), bool).at[valid_idx].set(True)
+    train_mask_flat = jnp.asarray(flat_rated) & ~is_valid_cell
+    r_flat = problem.R_obs.ravel()
+
+    n_batches = (cap + batch_size - 1) // batch_size
+    pad = n_batches * batch_size - cap
+
+    def epoch(carry):
+        st, u_inc, v_inc, key, last_valid, epoch_i, done = carry
+        key, kshuf = jax.random.split(key)
+        perm = jax.random.permutation(kshuf, cap)
+        perm = jnp.concatenate([perm, perm[:pad]]) if pad else perm
+
+        def batch_step(b, inner):
+            st, u_inc, v_inc = inner
+            sel = jax.lax.dynamic_slice(perm, (b * batch_size,), (batch_size,))
+            valid = train_mask_flat[sel]
+            cnt = jnp.maximum(jnp.sum(valid), 1)
+            gu, gv = _coo_gradient(
+                st, cfg, sel // m, sel % m, r_flat[sel], valid
+            )
+            u_inc = u_inc * momentum + gu * (lr / cnt)
+            v_inc = v_inc * momentum + gv * (lr / cnt)
+            st = st.replace(U=st.U + u_inc, V=st.V + v_inc)
+            return st, u_inc, v_inc
+
+        st, u_inc, v_inc = jax.lax.fori_loop(
+            0, n_batches, batch_step, (st, u_inc, v_inc)
+        )
+        pred_valid = jnp.sum(st.U[valid_i] * st.V[valid_j], axis=1)
+        if cfg.subtract_mean:
+            pred_valid = pred_valid + st.mean_rating
+        valid_err = jnp.sqrt(jnp.mean((pred_valid - valid_r) ** 2))
+        done = valid_err > last_valid - stop_thresh
+        return st, u_inc, v_inc, key, valid_err, epoch_i + 1, done
+
+    def cond(carry):
+        *_, epoch_i, done = carry
+        return jnp.logical_and(~done, epoch_i < max_epochs)
+
+    init = (
+        state,
+        jnp.zeros_like(state.U),
+        jnp.zeros_like(state.V),
+        key,
+        jnp.asarray(jnp.inf, state.U.dtype),
+        jnp.int32(0),
+        jnp.asarray(False),
+    )
+    st, *_ = jax.lax.while_loop(cond, epoch, init)
+    return st
+
+
+def parse_fit_type(string: str) -> tuple:
+    """Parse the reference's fit-type mini-DSL, e.g. 'mini-valid,100,50'
+    (reference: pmf.py:338-350)."""
+    parts = string.split(",")
+    res = []
+    for x in parts:
+        for fn in (int, float):
+            try:
+                res.append(fn(x))
+                break
+            except ValueError:
+                pass
+        else:
+            res.append(x)
+    return tuple(res)
+
+
+def do_fit(
+    state: PMFState,
+    problem: Problem,
+    cfg: PMFConfig,
+    fit_type: tuple = ("batch",),
+    key: Optional[jax.Array] = None,
+) -> PMFState:
+    """Dispatch on fit type (reference: pmf.py:217-224)."""
+    kind, *args = fit_type
+    if kind == "batch":
+        return fit(state, problem, cfg)[0]
+    if kind == "mini-valid":
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return fit_minibatches_until_validation(state, problem, cfg, key, *args)
+    raise ValueError(f"unknown fit type {kind!r}")
+
+
+def rmse(state: PMFState, problem: Problem, cfg: PMFConfig, real, on=None):
+    from amf_tpu.analysis import metrics
+
+    pred = predicted_matrix(state, cfg)
+    if on is None:
+        return metrics.rmse(pred, real)
+    return metrics.rmse_on(pred, real, on)

@@ -1,0 +1,109 @@
+"""Adaptive-learning-rate descent with accept/reject line search.
+
+This is the single optimization pattern behind four reference fit loops:
+``fit_lls`` (python-pmf/pmf.py:179-211, pmf_cy.pyx:257-291),
+``ActivePMF.fit_normal_kls`` (active_pmf.py:251-288), and
+``MNActivePMF.fit_normal_kls`` (mn_active_pmf.py:242-288):
+
+    compute gradient;
+    loop: propose x' = step(x, g, lr)
+          if f(x') improves: accept; lr *= 1.25;
+              converged if improvement < stop_thresh; recompute gradient
+          else: lr *= 0.5; converged if lr < min_lr
+
+Re-expressed as one ``lax.while_loop`` (jit- and vmap-safe; a hard
+``max_steps`` bound makes the loop safe to batch over lookahead candidates).
+Minimization convention: pass f = -log_likelihood to reproduce the reference's
+ascent loops exactly (same accept/reject trajectory, same thresholds).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class DescentInfo(NamedTuple):
+    final_value: jax.Array
+    final_lr: jax.Array
+    n_iters: jax.Array
+    n_accepts: jax.Array
+
+
+def adaptive_descent(
+    x0,
+    value_fn: Callable,
+    grad_fn: Callable,
+    step_fn: Callable,
+    lr0: float,
+    stop_thresh: float,
+    min_lr: float,
+    max_steps: int,
+    grow: float = 1.25,
+    shrink: float = 0.5,
+) -> Tuple[object, DescentInfo]:
+    """Minimize ``value_fn`` from ``x0`` with the reference's adaptive-LR rule.
+
+    Args:
+      x0: pytree of parameters.
+      value_fn: x -> scalar loss.
+      grad_fn: x -> pytree like x (the descent direction source; recomputed
+        only after accepted steps, as in the reference).
+      step_fn: (x, g, lr) -> proposed x. Projection (e.g. PSD) goes here.
+      lr0/stop_thresh/min_lr: the reference's learning_rate / stop_thresh /
+        min_learning_rate knobs (pmf.py:28-30).
+      max_steps: hard iteration bound (counts proposals, accepted or not).
+
+    Returns (x_final, DescentInfo).
+    """
+    f0 = value_fn(x0)
+    # Under shard_map, value_fn typically closes over sharded ("varying")
+    # operands while x0 may be a replicated closure constant. The while_loop
+    # carry must have uniform variance, so infect every init leaf with f0's
+    # variance via a zero-valued contribution (a no-op outside shard_map).
+    zero = jnp.zeros((), f0.dtype) * f0
+    x0 = jax.tree.map(lambda a: a + zero.astype(a.dtype), x0)
+    lr0_arr = jnp.asarray(lr0, dtype=f0.dtype) + zero
+    done0 = jnp.asarray(False) | (zero != 0)
+    iter0 = jnp.int32(0) + zero.astype(jnp.int32)
+
+    def _select(pred, a, b):
+        return jax.tree.map(lambda u, v: jnp.where(pred, u, v), a, b)
+
+    def cond(carry):
+        _, _, _, done, n_iters, _ = carry
+        return jnp.logical_and(~done, n_iters < max_steps)
+
+    def body(carry):
+        x, lr, old_f, done, n_iters, n_accepts = carry
+        # The gradient is a deterministic function of the current accepted
+        # point, so recomputing it each proposal (instead of carrying it, as
+        # the reference does) yields the identical trajectory while keeping
+        # the loop branch-free — required for shard_map's varying-axes checks.
+        g = grad_fn(x)
+        x_prop = step_fn(x, g, lr)
+        new_f = value_fn(x_prop)
+        # NaN/inf proposals are rejections (reference relies on float compare
+        # returning False; make that explicit for safety).
+        accept = jnp.isfinite(new_f) & (new_f < old_f)
+
+        conv = jnp.where(
+            accept, (old_f - new_f) < stop_thresh, lr * shrink < min_lr
+        )
+        x = _select(accept, x_prop, x)
+        lr = jnp.where(accept, lr * grow, lr * shrink)
+        old_f = jnp.where(accept, new_f, old_f)
+        return (
+            x,
+            lr,
+            old_f,
+            done | conv,
+            n_iters + 1,
+            n_accepts + accept.astype(jnp.int32),
+        )
+
+    init = (x0, lr0_arr, f0, done0, iter0, iter0)
+    x, lr, f, _, n_iters, n_accepts = jax.lax.while_loop(cond, body, init)
+    return x, DescentInfo(f, lr, n_iters, n_accepts)
