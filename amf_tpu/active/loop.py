@@ -1,0 +1,208 @@
+"""The active-learning loop for the variational-PMF models.
+
+Capability parity with the reference drivers ``full_test`` /
+``_full_test_threaded`` / ``compare`` (python-pmf/active_pmf.py:796-1092,
+mn_active_pmf.py): per criterion, loop {score every queryable cell, query the
+best, refit} and record ``(num_rated, rmse, (i, j), evals_matrix)`` tuples in
+the reference results-pickle schema (plot_results.py:160-166).
+
+The reference runs one Python thread per criterion sharing a lock-guarded
+multiprocessing pool; here each per-step computation is one jitted device
+program, so criteria just run sequentially (SURVEY.md §2.4.2) — states are
+immutable pytrees, so "deepcopy per criterion" is free.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from amf_tpu.active import criteria as criteria_mod
+from amf_tpu.active import lookahead as lookahead_mod
+from amf_tpu.analysis import metrics
+from amf_tpu.models import mnormal, pmf, vnormal
+from amf_tpu.types import Problem, ratings_array
+
+
+def _pick(evals: jax.Array, queryable: jax.Array, maximize: bool):
+    """argmax/argmin over the queryable pool (reference chooser semantics,
+    active_pmf.py:729-737)."""
+    if maximize:
+        masked = jnp.where(queryable, evals, -jnp.inf)
+        flat = jnp.argmax(masked)
+    else:
+        masked = jnp.where(queryable, evals, jnp.inf)
+        flat = jnp.argmin(masked)
+    m = evals.shape[1]
+    return flat // m, flat % m
+
+
+def run_active_pmf(
+    problem: Problem,
+    real: np.ndarray,
+    key_names: Sequence[str],
+    latent_d: int = 5,
+    rating_values: Tuple[float, ...] = (),
+    discrete_exp: bool = False,
+    refit_lookahead: bool = False,
+    fit_sigmas: bool = False,
+    steps: Optional[int] = None,
+    seed: int = 0,
+    model: str = "vn",  # 'vn' (ActivePMF) | 'mn' (MNActivePMF)
+    pcfg: Optional[pmf.PMFConfig] = None,
+    lookahead_budget: int = 300,
+    dtype=jnp.float64,
+    verbose: bool = False,
+) -> Dict[str, object]:
+    """Run the full multi-criterion comparison (reference: compare(),
+    active_pmf.py:1013-1092). Returns the reference results schema."""
+    if model == "vn":
+        registry = criteria_mod.KEY_FUNCS
+    else:
+        registry = criteria_mod.MN_KEY_FUNCS
+    for k in key_names:
+        if k not in registry:
+            raise ValueError(f"unknown criterion {k!r} for model {model!r}")
+
+    key = jax.random.PRNGKey(seed)
+    n, m = problem.shape
+    problem = jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        problem,
+    )
+    pcfg = pcfg or pmf.PMFConfig(latent_d=latent_d)
+
+    if model == "vn":
+        acfg = vnormal.VNConfig(latent_d=latent_d)
+        adapter = lookahead_mod.vn_adapter(acfg)
+    else:
+        acfg = mnormal.MNConfig(latent_d=latent_d)
+        adapter = lookahead_mod.mn_adapter(acfg)
+
+    discretize = (
+        discrete_exp if isinstance(discrete_exp, str)
+        else ("sum" if discrete_exp else "continuous")
+    )
+    lcfg = lookahead_mod.LookaheadConfig(
+        rating_values=tuple(rating_values or ()),
+        refit_lookahead=refit_lookahead,
+        discretize=discretize,
+        pmf_refit_steps=lookahead_budget,
+        approx_refit_steps=lookahead_budget,
+    )
+
+    # ---- initial fit, shared by all criteria (reference: :1043-1055)
+    key, kinit, kapprox = jax.random.split(key, 3)
+    pst = pmf.init_state(kinit, n, m, pcfg, problem, dtype=dtype)
+    if fit_sigmas:
+        pst = pmf.fit_with_sigmas(pst, problem, pcfg)
+    else:
+        pst, _ = pmf.fit(pst, problem, pcfg)
+
+    needs_approx = any(registry[k].needs_approx for k in key_names)
+    ast = None
+    if needs_approx:
+        ast = adapter.init_approx(kapprox, pst)
+        ast = adapter.fit_approx(ast, pst, problem, 10_000)
+
+    real_j = jnp.asarray(real, dtype=dtype)
+
+    results: Dict[str, object] = {
+        "_real": np.asarray(real),
+        "_ratings": ratings_array(problem),
+        "_rating_vals": tuple(rating_values) if rating_values else None,
+        "_initial_state": (pst, ast),
+    }
+
+    # ---- jitted per-step programs, shared across criteria
+    @jax.jit
+    def refit(pst, ast, prob, kapprox):
+        pst2 = pmf.refresh_mean_rating(pst, prob)
+        if fit_sigmas:
+            pst2 = pmf.fit_with_sigmas(pst2, prob, pcfg)
+        else:
+            pst2, _ = pmf.fit(pst2, prob, pcfg)
+        if needs_approx:
+            if refit_lookahead:
+                ast2 = adapter.init_approx(kapprox, pst2)
+            else:
+                ast2 = ast
+            ast2 = adapter.fit_approx(ast2, pst2, prob, 10_000)
+        else:
+            ast2 = ast
+        return pst2, ast2
+
+    @jax.jit
+    def test_rmse(pst, prob):
+        pred = pst.U @ pst.V.T
+        return metrics.rmse_on(pred, real_j, prob.test)
+
+    score_fns = {}
+
+    def get_score_fn(crit):
+        if crit.name not in score_fns:
+            if crit.kind == "direct":
+
+                @jax.jit
+                def fn(pst, ast, prob, k, _crit=crit):
+                    amv = adapter.pred_mean_var(ast, prob) if _crit.needs_approx else None
+                    ev = criteria_mod.direct_scores(_crit, pst.U @ pst.V.T, amv, k)
+                    return jnp.where(prob.queryable, ev, jnp.nan)
+
+            else:
+
+                @jax.jit
+                def fn(pst, ast, prob, k, _crit=crit):
+                    flat = lookahead_mod.lookahead_scores(
+                        _crit, pst, ast, prob, k, pcfg, adapter, lcfg
+                    )
+                    return flat.reshape(prob.shape)
+
+            score_fns[crit.name] = fn
+        return score_fns[crit.name]
+
+    # ---- per-criterion loops (reference: full_test :796-850)
+    for key_name in key_names:
+        crit = registry[key_name]
+        score_fn = get_score_fn(crit)
+        prob_k = problem
+        pst_k, ast_k = pst, ast
+        kloop = jax.random.fold_in(key, hash(key_name) % (2**31))
+
+        rmse0 = float(test_rmse(pst_k, prob_k))
+        records: List[tuple] = [(int(prob_k.n_rated), rmse0, None, None)]
+        t0 = time.time()
+
+        max_steps = steps if steps is not None else n * m
+        while bool(prob_k.queryable.any()) and len(records) < max_steps:
+            kloop, kscore, krefit = jax.random.split(kloop, 3)
+            if int(prob_k.queryable.sum()) == 1:
+                ii, jj = np.nonzero(np.asarray(prob_k.queryable))
+                i, j = int(ii[0]), int(jj[0])
+                evals = None
+            else:
+                evals = score_fn(pst_k, ast_k, prob_k, kscore)
+                i, j = _pick(evals, prob_k.queryable, crit.maximize)
+                i, j = int(i), int(j)
+                evals = np.asarray(evals)
+
+            prob_k = prob_k.add_rating(i, j, float(real[i, j]))
+            pst_k, ast_k = refit(pst_k, ast_k, prob_k, krefit)
+            err = float(test_rmse(pst_k, prob_k))
+            records.append((int(prob_k.n_rated), err, (i, j), evals))
+            if verbose:
+                print(
+                    f"{crit.nice_name:<36} step {len(records) - 1}: "
+                    f"picked ({i},{j}), rmse {err:.5f}"
+                )
+
+        results[key_name] = records
+        if verbose:
+            print(f"{crit.nice_name}: {len(records) - 1} steps in "
+                  f"{time.time() - t0:.1f}s")
+
+    return results

@@ -1,0 +1,169 @@
+"""CLI for the variational active-PMF models.
+
+Mirrors the reference entry points ``python-pmf/active_pmf.py main()``
+(:1100-1257) and ``mn_active_pmf.py main()`` (:1011-1128): same flag names,
+criterion keys, data schema, and results-pickle layout, so downstream
+analysis tooling can diff runs against reference outputs.  ``--model mn``
+selects the matrix-normal approximation (the reference's separate
+mn_active_pmf CLI).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+
+import numpy as np
+
+
+def add_bool_opt(parser, name, default=False):
+    parser.add_argument("--" + name, action="store_true", default=default)
+    parser.add_argument(
+        "--no-" + name, action="store_false", dest=name.replace("-", "_")
+    )
+
+
+def build_parser():
+    from amf_tpu.active.criteria import KEY_FUNCS
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    model = parser.add_argument_group("Model Options")
+    model.add_argument("--model", choices=("vn", "mn"), default="vn")
+    model.add_argument("--latent-d", "-D", type=int, default=5)
+    model.add_argument(
+        "--discrete-integration", nargs="?", const=True, default=False
+    )
+    model.add_argument(
+        "--continuous-integration",
+        action="store_false",
+        dest="discrete_integration",
+    )
+    add_bool_opt(model, "fit-sigmas", default=False)
+    add_bool_opt(model, "refit-lookahead", default=False)
+    model.add_argument("--lookahead-budget", type=int, default=300,
+                       help="max inner-fit iterations inside the vmapped lookahead")
+    model.add_argument("keys", nargs="*",
+                       help="Choices: {}.".format(", ".join(sorted(KEY_FUNCS))))
+
+    problem_def = parser.add_argument_group("Problem Definition")
+    problem_def.add_argument("--load-data", default=None, metavar="FILE")
+    problem_def.add_argument("--gen-rank", "-R", type=int, default=5)
+    problem_def.add_argument("--type", default="float")
+    problem_def.add_argument("--u-mean", type=float, default=0)
+    problem_def.add_argument("--u-std", type=float, default=2)
+    problem_def.add_argument("--v-mean", type=float, default=0)
+    problem_def.add_argument("--v-std", type=float, default=2)
+    problem_def.add_argument("--noise", "-n", type=float, default=0.25)
+    problem_def.add_argument("--num-users", "-N", type=int, default=10)
+    problem_def.add_argument("--num-items", "-M", type=int, default=10)
+    problem_def.add_argument("--mask", "-m", default=0.0)
+
+    running = parser.add_argument_group("Running")
+    running.add_argument("--steps", "-s", type=int, default=None)
+    running.add_argument("--seed", type=int, default=0)
+    running.add_argument("--float32", action="store_true",
+                         help="run in float32 (TPU-native dtype)")
+    add_bool_opt(running, "verbose", default=True)
+
+    results = parser.add_argument_group("Results")
+    results.add_argument("--save-results", nargs="?", default=None, const=True,
+                         metavar="FILE")
+    results.add_argument("--no-save-results", action="store_false",
+                         dest="save_results")
+    results.add_argument("--note", action="append",
+                         help="Saved into the results file; otherwise unused.")
+    return parser
+
+
+def main(argv=None):
+    parser = build_parser()
+    args = parser.parse_args(argv)
+
+    from amf_tpu.utils.platform import setup as platform_setup
+
+    backend = platform_setup(use_x64=not args.float32)
+    if args.verbose:
+        print(f"backend: {backend}")
+
+    import jax.numpy as jnp
+
+    from amf_tpu import types
+    from amf_tpu.active import loop
+    from amf_tpu.active.criteria import KEY_FUNCS, MN_KEY_FUNCS
+    from amf_tpu.data import make_fake_data
+    from amf_tpu.data.loaders import load_npz_schema
+
+    registry = KEY_FUNCS if args.model == "vn" else MN_KEY_FUNCS
+    key_names = args.keys or sorted(registry)
+    for k in key_names:
+        if k not in registry:
+            sys.stderr.write(
+                f"Invalid key name {k}; options are {', '.join(sorted(registry))}.\n"
+            )
+            sys.exit(1)
+
+    try:
+        args.mask = float(args.mask)
+    except ValueError:
+        pass
+    try:
+        args.type = int(args.type)
+    except ValueError:
+        pass
+
+    if args.save_results is True:
+        args.save_results = "results.pkl"
+    if args.save_results:
+        dirname = os.path.dirname(args.save_results)
+        if dirname:
+            os.makedirs(dirname, exist_ok=True)
+
+    rng = np.random.default_rng(args.seed)
+    if args.load_data:
+        data = load_npz_schema(args.load_data)
+        real = data["_real"]
+        vals = tuple(data.get("_rating_vals", ())) or ()
+        problem = types.problem_from_ratings(
+            data["_ratings"], real=real, test=data.get("_test_on"),
+            dtype=jnp.float32 if args.float32 else jnp.float64,
+        )
+    else:
+        real, known, vals = make_fake_data(
+            noise=args.noise, num_users=args.num_users, num_items=args.num_items,
+            mask_type=args.mask, data_type=args.type, rank=args.gen_rank,
+            u_mean=args.u_mean, u_std=args.u_std,
+            v_mean=args.v_mean, v_std=args.v_std, rng=rng,
+        )
+        vals = tuple(vals) if vals else ()
+        problem = types.problem_from_dense(
+            real, known, dtype=jnp.float32 if args.float32 else jnp.float64
+        )
+
+    results = loop.run_active_pmf(
+        problem, real, key_names,
+        latent_d=args.latent_d,
+        rating_values=vals,
+        discrete_exp=args.discrete_integration,
+        refit_lookahead=args.refit_lookahead,
+        fit_sigmas=args.fit_sigmas,
+        steps=args.steps,
+        seed=args.seed,
+        model=args.model,
+        lookahead_budget=args.lookahead_budget,
+        dtype=jnp.float32 if args.float32 else jnp.float64,
+        verbose=args.verbose,
+    )
+
+    if args.save_results:
+        print(f"saving results in '{args.save_results}'")
+        results = dict(results)
+        results.pop("_initial_state", None)  # device arrays; not portable
+        results["_args"] = vars(args)
+        with open(args.save_results, "wb") as f:
+            pickle.dump(results, f)
+
+
+if __name__ == "__main__":
+    main()
