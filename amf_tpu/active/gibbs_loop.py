@@ -1,0 +1,198 @@
+"""Active-learning loop for the Gibbs BPMF model.
+
+Capability parity with the reference's ``bayes_pmf.full_test``/
+``compare_active`` (python-pmf/bayes_pmf.py:657-825): criterion registry
+KEYS, query/test-set splitting, per-step MAP refit + fresh sample chain,
+results in the reference schema.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from amf_tpu.analysis import metrics
+from amf_tpu.models import bpmf_gibbs, pmf
+from amf_tpu.types import Problem, rating_bounds, ratings_array
+
+
+class GibbsKey(NamedTuple):
+    nice_name: str
+    kind: str  # 'random' | 'pred-variance' | 'exp-variance' | 'pred' | 'prob-ge'
+    choose_max: bool
+    cutoff: Optional[float] = None
+
+
+# reference: bayes_pmf.KEYS :660-670
+KEYS = {
+    "random": GibbsKey("Random", "random", True),
+    "pred-variance": GibbsKey("Var[R_ij]", "pred-variance", True),
+    "exp-variance": GibbsKey("E[Var[R]]", "exp-variance", False),
+    "pred": GibbsKey("Pred", "pred", True),
+    "prob-ge-3.5": GibbsKey("Prob >= 3.5", "prob-ge", True, 3.5),
+    "prob-ge-.5": GibbsKey("Prob >= .5", "prob-ge", True, 0.5),
+    "prob-ge-0": GibbsKey("Prob >= 0", "prob-ge", True, 0.0),
+}
+
+_CUTOFFS = (3.5, 0.5, 0.0)
+
+
+def split_query_test(
+    real: np.ndarray,
+    ratings: np.ndarray,
+    test_set: str = "all",
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(query_on, test_on) masks (reference: compare_active :739-772).
+
+    test_set: 'all' (test on every knowable cell, query on all unrated
+    knowable); a float fraction; or an integer count of test cells.
+    """
+    rng = rng or np.random.default_rng(0)
+    knowable = np.isfinite(real) & (real != 0)
+    pickable = knowable.copy()
+    pickable[ratings[:, 0].astype(int), ratings[:, 1].astype(int)] = False
+
+    if test_set == "all":
+        return pickable, knowable
+    t = float(test_set)
+    if t % 1 == 0 and t != 1:
+        avail = np.transpose(pickable.nonzero())
+        picked = avail[rng.choice(len(avail), size=int(t), replace=False)]
+        picker = np.zeros(pickable.shape, bool)
+        picker[tuple(picked.T)] = True
+    else:
+        picker = rng.binomial(1, t, size=pickable.shape).astype(bool)
+    test_on = picker & pickable
+    query_on = ~picker & pickable
+    return query_on, test_on
+
+
+def run_active_gibbs(
+    problem: Problem,
+    real: np.ndarray,
+    key_names: Sequence[str],
+    latent_d: int = 5,
+    rating_values: Tuple[float, ...] = (),
+    subtract_mean: bool = True,
+    num_samps: int = 128,
+    lookahead_samps: int = 30,
+    steps: Optional[int] = None,
+    seed: int = 0,
+    fit_type: tuple = ("batch",),
+    pcfg: Optional[pmf.PMFConfig] = None,
+    dtype=jnp.float64,
+    verbose: bool = False,
+) -> Dict[str, object]:
+    """Multi-criterion Gibbs active loop (reference: compare_active :733-825)."""
+    for k in key_names:
+        if k not in KEYS:
+            raise ValueError(f"unknown Gibbs criterion {k!r}")
+    n, m = problem.shape
+    problem = jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        problem,
+    )
+    pcfg = pcfg or pmf.PMFConfig(latent_d=latent_d, subtract_mean=subtract_mean)
+    gcfg = bpmf_gibbs.GibbsConfig(latent_d=latent_d, subtract_mean=subtract_mean)
+
+    vals = tuple(sorted(rating_values)) if rating_values else ()
+    bounds = tuple(rating_bounds(vals)) if vals else None
+
+    key = jax.random.PRNGKey(seed)
+    key, kinit = jax.random.split(key)
+    real_j = jnp.asarray(real, dtype=dtype)
+
+    @jax.jit
+    def fit_and_sample(prob, k):
+        pst = pmf.init_state(
+            jax.random.fold_in(k, 1), n, m, pcfg, prob, dtype=dtype
+        )
+        pst = pmf.do_fit(pst, prob, pcfg, fit_type=fit_type, key=k)
+        chain = bpmf_gibbs.init_chain(pst)
+        _, stats, _ = bpmf_gibbs.run_chain(
+            jax.random.fold_in(k, 2), chain, prob, gcfg, num_samps,
+            cutoffs=_CUTOFFS, value_bounds=bounds,
+        )
+        return pst, stats
+
+    @jax.jit
+    def refit_and_sample(pst, prob, k):
+        pst = pmf.refresh_mean_rating(pst, prob)
+        pst, _ = pmf.fit(pst, prob, pcfg)
+        chain = bpmf_gibbs.init_chain(pst)
+        _, stats, _ = bpmf_gibbs.run_chain(
+            k, chain, prob, gcfg, num_samps, cutoffs=_CUTOFFS, value_bounds=bounds
+        )
+        return pst, stats
+
+    lookahead_fn = jax.jit(
+        lambda k, pst, prob, stats: bpmf_gibbs.exp_variance_scores(
+            k, pst, prob, pcfg, gcfg, stats, vals,
+            num_samps=lookahead_samps, n_base_samples=num_samps,
+        ).reshape(n, m)
+    ) if vals else None
+
+    pst0, stats0 = fit_and_sample(problem, kinit)
+
+    results: Dict[str, object] = {
+        "_real": np.asarray(real),
+        "_ratings": ratings_array(problem),
+        "_rating_vals": vals or None,
+    }
+
+    def evals_for(kname: str, pst, stats, prob, k):
+        spec = KEYS[kname]
+        if spec.kind == "random":
+            ev = jax.random.uniform(k, (n, m), dtype=dtype)
+        elif spec.kind == "pred-variance":
+            ev = stats.var
+        elif spec.kind == "pred":
+            ev = stats.mean
+        elif spec.kind == "prob-ge":
+            ev = stats.prob_ge[_CUTOFFS.index(spec.cutoff)]
+        elif spec.kind == "exp-variance":
+            if lookahead_fn is None:
+                raise ValueError("exp-variance needs rating_values")
+            ev = lookahead_fn(k, pst, prob, stats)
+        else:
+            raise ValueError(spec.kind)
+        return jnp.where(prob.queryable, ev, jnp.nan)
+
+    for kname in key_names:
+        spec = KEYS[kname]
+        prob_k, pst_k, stats_k = problem, pst0, stats0
+        kloop = jax.random.fold_in(key, hash(kname) % (2**31))
+        rmse0 = float(metrics.rmse_on(stats_k.mean, real_j, prob_k.test))
+        records: List[tuple] = [(int(prob_k.n_rated), rmse0, None, None)]
+        max_steps = steps if steps is not None else n * m
+
+        while bool(prob_k.queryable.any()) and len(records) < max_steps:
+            kloop, kev, ksamp = jax.random.split(kloop, 3)
+            if int(prob_k.queryable.sum()) == 1:
+                ii, jj = np.nonzero(np.asarray(prob_k.queryable))
+                i, j = int(ii[0]), int(jj[0])
+                evals = None
+            else:
+                ev = evals_for(kname, pst_k, stats_k, prob_k, kev)
+                masked = jnp.where(
+                    prob_k.queryable, ev, -jnp.inf if spec.choose_max else jnp.inf
+                )
+                flat = int(jnp.argmax(masked) if spec.choose_max else jnp.argmin(masked))
+                i, j = flat // m, flat % m
+                evals = np.asarray(ev)
+
+            prob_k = prob_k.add_rating(i, j, float(real[i, j]))
+            pst_k, stats_k = refit_and_sample(pst_k, prob_k, ksamp)
+            err = float(metrics.rmse_on(stats_k.mean, real_j, prob_k.test))
+            records.append((int(prob_k.n_rated), err, (i, j), evals))
+            if verbose:
+                print(f"{spec.nice_name:<20} step {len(records)-1}: "
+                      f"({i},{j}) rmse {err:.5f}")
+
+        results[kname] = records
+
+    return results
