@@ -1,0 +1,409 @@
+"""No-U-Turn Sampler, implemented natively in JAX.
+
+This replaces the reference's Stan/rpy2 sampling backend
+(stan-bpmf/rstan_interface.py + the .stan models): the reference shells out
+to RStan's C++ NUTS per fit — including a fresh NUTS run per lookahead
+candidate (stan-bpmf/bpmf.py:488-491).  A JAX-native NUTS makes each chain a
+compiled XLA program, so chains (and lookahead candidates) batch with
+``vmap`` onto the MXU instead of fanning out over processes.
+
+Algorithm: multinomial NUTS (Betancourt 2017) with
+  * iterative trajectory doubling (``lax.while_loop`` over tree depth);
+  * iterative subtree construction with a binary-counter merge stack for
+    the generalized U-turn checks (equivalent to Stan's recursion, but with
+    static memory (max_depth+1 slots) and no host recursion);
+  * streaming multinomial candidate selection (progressive logsumexp);
+  * Stan-style divergence threshold (delta energy > 1000);
+  * dual-averaging step-size adaptation (target accept 0.8) and diagonal
+    mass-matrix (Welford) adaptation during warmup.
+
+Everything is shape-static and differentiation-free, so chains can be
+vmapped and sharded over a device mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class NUTSConfig(NamedTuple):
+    max_depth: int = 10
+    max_delta_energy: float = 1000.0
+    target_accept: float = 0.8
+    # dual averaging constants (Hoffman & Gelman 2014, Stan defaults)
+    da_gamma: float = 0.05
+    da_t0: float = 10.0
+    da_kappa: float = 0.75
+
+
+class _End(NamedTuple):
+    """One endpoint of the trajectory: position, momentum, potential, grad."""
+
+    q: jax.Array
+    p: jax.Array
+    pe: jax.Array
+    grad: jax.Array
+
+
+def _leapfrog(end: _End, eps, inv_mass, pe_and_grad) -> _End:
+    p_half = end.p - 0.5 * eps * end.grad
+    q_new = end.q + eps * inv_mass * p_half
+    pe_new, grad_new = pe_and_grad(q_new)
+    p_new = p_half - 0.5 * eps * grad_new
+    return _End(q_new, p_new, pe_new, grad_new)
+
+
+def _kinetic(p, inv_mass):
+    return 0.5 * jnp.sum(inv_mass * p * p)
+
+
+def _is_turning(p_first, p_last, p_sum, inv_mass):
+    """Generalized U-turn criterion with endpoint centering
+    (Betancourt 2017 A.4.2; matches numpyro/Stan semantics)."""
+    v_first = inv_mass * p_first
+    v_last = inv_mass * p_last
+    rho = p_sum - (p_first + p_last) / 2
+    return (jnp.dot(v_first, rho) <= 0) | (jnp.dot(v_last, rho) <= 0)
+
+
+def _build_subtree(
+    key, start: _End, depth, eps, inv_mass, H0, pe_and_grad, cfg: NUTSConfig
+):
+    """Build a subtree of 2^depth leapfrog leaves from ``start``.
+
+    Returns (last_end, cand_q, cand_pe, logw_total, p_sum, turning,
+    diverging, sum_accept, n_leaves). Turning is detected with a
+    binary-counter merge stack: completed dyadic sub-blocks always end at the
+    current leaf, so each merged block is checked as
+    is_turning(block_first_p, current_p, block_p_sum).
+    """
+    dim = start.q.shape[0]
+    dtype = start.q.dtype
+    L = cfg.max_depth + 1
+    num_leaves = jnp.left_shift(1, depth)
+
+    def body(i, carry):
+        (end, cand_q, cand_pe, logw, p_sum, s_depth, s_pfirst, s_psum, top,
+         turning, diverging, sum_acc, key) = carry
+
+        end = _leapfrog(end, eps, inv_mass, pe_and_grad)
+        H = end.pe + _kinetic(end.p, inv_mass)
+        delta = H - H0
+        diverging = diverging | (delta > cfg.max_delta_energy) | ~jnp.isfinite(delta)
+        logw_leaf = jnp.where(jnp.isfinite(delta), -delta, -jnp.inf)
+        sum_acc = sum_acc + jnp.minimum(1.0, jnp.exp(-delta))
+
+        # streaming multinomial candidate selection
+        new_logw = jnp.logaddexp(logw, logw_leaf)
+        key, ksel = jax.random.split(key)
+        take = jnp.log(jax.random.uniform(ksel, dtype=dtype)) < (logw_leaf - new_logw)
+        cand_q = jnp.where(take, end.q, cand_q)
+        cand_pe = jnp.where(take, end.pe, cand_pe)
+        logw = new_logw
+        p_sum = p_sum + end.p
+
+        # push leaf (depth 0)
+        s_depth = s_depth.at[top].set(0)
+        s_pfirst = s_pfirst.at[top].set(end.p)
+        s_psum = s_psum.at[top].set(end.p)
+        top = top + 1
+
+        # binary-counter merges: while the two topmost blocks have equal depth
+        def merge_cond(mc):
+            s_depth, s_pfirst, s_psum, top, turning = mc
+            can = top >= 2
+            eq = jnp.where(
+                can, s_depth[top - 1] == s_depth[jnp.maximum(top - 2, 0)], False
+            )
+            return can & eq
+
+        def merge_body(mc):
+            s_depth, s_pfirst, s_psum, top, turning = mc
+            a, b = top - 2, top - 1
+            merged_psum = s_psum[a] + s_psum[b]
+            turning = turning | _is_turning(
+                s_pfirst[a], end.p, merged_psum, inv_mass
+            )
+            s_psum = s_psum.at[a].set(merged_psum)
+            s_depth = s_depth.at[a].set(s_depth[a] + 1)
+            return s_depth, s_pfirst, s_psum, top - 1, turning
+
+        s_depth, s_pfirst, s_psum, top, turning = jax.lax.while_loop(
+            merge_cond, merge_body, (s_depth, s_pfirst, s_psum, top, turning)
+        )
+        return (end, cand_q, cand_pe, logw, p_sum, s_depth, s_pfirst, s_psum,
+                top, turning, diverging, sum_acc, key)
+
+    init = (
+        start,
+        start.q,
+        start.pe,
+        jnp.asarray(-jnp.inf, dtype),
+        jnp.zeros(dim, dtype),
+        jnp.zeros(L, jnp.int32),
+        jnp.zeros((L, dim), dtype),
+        jnp.zeros((L, dim), dtype),
+        jnp.int32(0),
+        jnp.asarray(False),
+        jnp.asarray(False),
+        jnp.zeros((), dtype),
+        key,
+    )
+
+    # stop early on turn/divergence: while-loop with an explicit counter
+    def cond(state):
+        i, carry = state
+        turning = carry[9]
+        diverging = carry[10]
+        return (i < num_leaves) & ~turning & ~diverging
+
+    def wbody(state):
+        i, carry = state
+        return i + 1, body(i, carry)
+
+    n_done, carry = jax.lax.while_loop(cond, wbody, (jnp.int32(0), init))
+    (end, cand_q, cand_pe, logw, p_sum, _, _, _, _, turning, diverging,
+     sum_acc, _) = carry
+    return end, cand_q, cand_pe, logw, p_sum, turning, diverging, sum_acc, n_done
+
+
+class NUTSInfo(NamedTuple):
+    accept_prob: jax.Array
+    num_leaves: jax.Array
+    diverging: jax.Array
+    logprob: jax.Array
+
+
+def nuts_kernel(
+    key: jax.Array,
+    q: jax.Array,
+    logprob_fn: Callable,
+    eps,
+    inv_mass: jax.Array,
+    cfg: NUTSConfig = NUTSConfig(),
+) -> Tuple[jax.Array, NUTSInfo]:
+    """One NUTS transition from flat position ``q``."""
+    dtype = q.dtype
+    neg_lp, grad_neg = jax.value_and_grad(lambda x: -logprob_fn(x))(q)
+
+    def pe_and_grad(x):
+        v, g = jax.value_and_grad(lambda y: -logprob_fn(y))(x)
+        return v, g
+
+    kmom, key = jax.random.split(key)
+    p0 = jax.random.normal(kmom, q.shape, dtype=dtype) / jnp.sqrt(inv_mass)
+    H0 = neg_lp + _kinetic(p0, inv_mass)
+    start = _End(q, p0, neg_lp, grad_neg)
+
+    def cond(carry):
+        (_, _, _, _, _, _, depth, turning, diverging, *_rest) = carry
+        return (depth < cfg.max_depth) & ~turning & ~diverging
+
+    def body(carry):
+        (left, right, cand_q, cand_pe, logw, p_sum, depth, turning, diverging,
+         sum_acc, n_leaves, key) = carry
+        key, kdir, ksub, kmerge = jax.random.split(key, 4)
+        go_right = jax.random.bernoulli(kdir)
+
+        start_end = jax.tree.map(
+            lambda a, b: jnp.where(go_right, a, b), right, left
+        )
+        step = jnp.where(go_right, eps, -eps)
+        (sub_end, sq, spe, slogw, sp_sum, sturn, sdiv, sacc, sn) = _build_subtree(
+            ksub, start_end, depth, step, inv_mass, H0, pe_and_grad, cfg
+        )
+        sum_acc = sum_acc + sacc
+        n_leaves = n_leaves + sn
+
+        ok = ~sturn & ~sdiv
+        # biased progressive sampling (favor the new subtree, Stan-style)
+        accept_new = (
+            jnp.log(jax.random.uniform(kmerge, dtype=dtype)) < (slogw - logw)
+        ) & ok
+        cand_q = jnp.where(accept_new, sq, cand_q)
+        cand_pe = jnp.where(accept_new, spe, cand_pe)
+        logw = jnp.where(ok, jnp.logaddexp(logw, slogw), logw)
+
+        new_right = jax.tree.map(
+            lambda old, new: jnp.where(ok & go_right, new, old), right, sub_end
+        )
+        new_left = jax.tree.map(
+            lambda old, new: jnp.where(ok & ~go_right, new, old), left, sub_end
+        )
+        new_p_sum = jnp.where(ok, p_sum + sp_sum, p_sum)
+        whole_turn = _is_turning(new_left.p, new_right.p, new_p_sum, inv_mass)
+        turning = sturn | (ok & whole_turn)
+        diverging = diverging | sdiv
+        return (new_left, new_right, cand_q, cand_pe, logw, new_p_sum,
+                depth + 1, turning, diverging, sum_acc, n_leaves, key)
+
+    init = (
+        start, start,
+        q, neg_lp,
+        jnp.zeros((), dtype),  # logw of the initial point = -0 (ΔH = 0)
+        p0,
+        jnp.int32(0),
+        jnp.asarray(False),
+        jnp.asarray(False),
+        jnp.zeros((), dtype),
+        jnp.int32(0),
+        key,
+    )
+    (_, _, cand_q, cand_pe, _, _, _, _, diverging, sum_acc, n_leaves, _) = (
+        jax.lax.while_loop(cond, body, init)
+    )
+    accept = sum_acc / jnp.maximum(n_leaves, 1)
+    return cand_q, NUTSInfo(accept, n_leaves, diverging, -cand_pe)
+
+
+def find_reasonable_step_size(
+    key, q, logprob_fn, inv_mass, init_eps=1.0, target=0.8, max_tries=50
+):
+    """Stan's heuristic: double/halve eps until the one-step accept prob
+    crosses 0.5."""
+    dtype = q.dtype
+    neg_lp, grad = jax.value_and_grad(lambda x: -logprob_fn(x))(q)
+    p0 = jax.random.normal(key, q.shape, dtype=dtype) / jnp.sqrt(inv_mass)
+    H0 = neg_lp + _kinetic(p0, inv_mass)
+    start = _End(q, p0, neg_lp, grad)
+
+    def pe_and_grad(x):
+        v, g = jax.value_and_grad(lambda y: -logprob_fn(y))(x)
+        return v, g
+
+    def accept_at(eps):
+        end = _leapfrog(start, eps, inv_mass, pe_and_grad)
+        H = end.pe + _kinetic(end.p, inv_mass)
+        return jnp.exp(H0 - H)
+
+    a0 = accept_at(jnp.asarray(init_eps, dtype))
+    direction = jnp.where(a0 > 0.5, 1.0, -1.0)
+
+    def cond(c):
+        eps, i = c
+        a = accept_at(eps)
+        a = jnp.where(jnp.isfinite(a), a, 0.0)
+        keep = jnp.where(direction > 0, a > 0.5, a < 0.5)
+        return keep & (i < max_tries)
+
+    def body(c):
+        eps, i = c
+        return eps * jnp.where(direction > 0, 2.0, 0.5), i + 1
+
+    eps, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(init_eps, dtype), jnp.int32(0))
+    )
+    return eps
+
+
+class _DAState(NamedTuple):
+    log_eps: jax.Array
+    log_eps_avg: jax.Array
+    h_avg: jax.Array
+    mu: jax.Array
+    t: jax.Array
+
+
+def _da_init(eps0):
+    return _DAState(
+        jnp.log(eps0), jnp.log(eps0), jnp.zeros_like(eps0),
+        jnp.log(10.0 * eps0), jnp.zeros_like(eps0),
+    )
+
+
+def _da_update(state: _DAState, accept_prob, cfg: NUTSConfig) -> _DAState:
+    t = state.t + 1
+    eta_h = 1.0 / (t + cfg.da_t0)
+    h_avg = (1 - eta_h) * state.h_avg + eta_h * (cfg.target_accept - accept_prob)
+    log_eps = state.mu - jnp.sqrt(t) / cfg.da_gamma * h_avg
+    eta = t ** (-cfg.da_kappa)
+    log_eps_avg = eta * log_eps + (1 - eta) * state.log_eps_avg
+    return _DAState(log_eps, log_eps_avg, h_avg, state.mu, t)
+
+
+def run_nuts(
+    key: jax.Array,
+    q0: jax.Array,
+    logprob_fn: Callable,
+    num_samples: int,
+    warmup: int,
+    cfg: NUTSConfig = NUTSConfig(),
+    adapt_mass: bool = True,
+    init_eps: float = 1.0,
+) -> Tuple[jax.Array, NUTSInfo]:
+    """Warmup (step-size + diagonal mass adaptation) then sampling.
+
+    Returns (samples (num_samples, dim), info with per-sample stats).
+    Windows: eps-only until 15% of warmup; Welford mass accumulation from
+    15%..90% (mass applied + dual averaging reset at 90%); eps-only to the
+    end — a simplified Stan warmup schedule.
+    """
+    dim = q0.shape[0]
+    dtype = q0.dtype
+    inv_mass0 = jnp.ones(dim, dtype)
+
+    kf, key = jax.random.split(key)
+    eps0 = find_reasonable_step_size(kf, q0, logprob_fn, inv_mass0, init_eps)
+
+    mass_start = max(int(np.floor(warmup * 0.15)), 1)
+    mass_end = max(int(np.floor(warmup * 0.9)), mass_start + 1)
+    is_accum = np.zeros(max(warmup, 1), bool)
+    is_accum[mass_start:mass_end] = True
+    is_switch = np.zeros(max(warmup, 1), bool)
+    if adapt_mass and warmup > mass_end:
+        is_switch[mass_end] = True
+
+    def warm_step(carry, xs):
+        accum, switch = xs
+        q, da, inv_mass, w_n, w_mean, w_m2, key = carry
+        key, kstep = jax.random.split(key)
+        q, info = nuts_kernel(
+            kstep, q, logprob_fn, jnp.exp(da.log_eps), inv_mass, cfg
+        )
+        da = _da_update(da, info.accept_prob, cfg)
+
+        # Welford accumulation of position variance
+        w_n2 = w_n + accum
+        delta = q - w_mean
+        w_mean = w_mean + jnp.where(accum, delta / jnp.maximum(w_n2, 1), 0.0)
+        w_m2 = w_m2 + jnp.where(accum, delta * (q - w_mean), 0.0)
+        w_n = w_n2
+
+        # switch in the adapted mass and reset dual averaging
+        var = w_m2 / jnp.maximum(w_n - 1, 1)
+        # Stan-style regularization toward unit
+        reg = (w_n / (w_n + 5.0)) * var + (5.0 / (w_n + 5.0)) * 1e-3
+        new_inv_mass = jnp.where(switch & (w_n > 1), reg, inv_mass)
+        new_da = jax.tree.map(
+            lambda a, b: jnp.where(switch, a, b),
+            _da_init(jnp.exp(da.log_eps_avg)),
+            da,
+        )
+        return (q, new_da, new_inv_mass, w_n, w_mean, w_m2, key), None
+
+    carry = (
+        q0, _da_init(eps0), inv_mass0,
+        jnp.zeros((), dtype), jnp.zeros(dim, dtype), jnp.zeros(dim, dtype),
+        key,
+    )
+    if warmup > 0:
+        carry, _ = jax.lax.scan(
+            warm_step, carry, (jnp.asarray(is_accum), jnp.asarray(is_switch))
+        )
+    q, da, inv_mass, *_, key = carry
+    eps = jnp.exp(da.log_eps_avg)
+
+    def sample_step(carry, _):
+        q, key = carry
+        key, kstep = jax.random.split(key)
+        q, info = nuts_kernel(kstep, q, logprob_fn, eps, inv_mass, cfg)
+        return (q, key), (q, info)
+
+    (_, _), (samples, infos) = jax.lax.scan(
+        sample_step, (q, key), None, length=num_samples
+    )
+    return samples, infos

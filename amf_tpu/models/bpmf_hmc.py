@@ -1,0 +1,304 @@
+"""Bayesian PMF sampled with native NUTS — the Stan-path replacement.
+
+Capability parity with the reference's ``BPMF`` class + Stan models
+(stan-bpmf/bpmf.py:176-478, bpmf_w0identity.stan): the Wishart-
+reparameterized hierarchical prior (chi-squared diagonal / standard-normal
+lower triangle building a Wishart(nu_0, I) factor A, latent-factor
+covariance L L^T with L = A^{-1}), multi-normal-Cholesky priors on U and V,
+normal likelihood, sampled-mode warm starts, and the sample-based criteria.
+
+The reference runs RStan's NUTS in-process via rpy2 per fit
+(rstan_interface.py:116-166) — including a full fresh NUTS run per lookahead
+candidate x rating value (stan-bpmf/bpmf.py:488-491). Here the posterior is a
+pure JAX log-density and chains are compiled scans (mcmc.nuts), so chains and
+lookahead candidates batch with vmap.
+
+Replicated Stan quirk: the standardized means are given sd = 1/beta_0
+(``mu_u_stdized ~ normal(0, one_over_beta_0)``, bpmf_w0identity.stan:107),
+not 1/sqrt(beta_0) as the comment in the model suggests; we match the code.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from amf_tpu.mcmc import nuts
+from amf_tpu.models import pmf
+from amf_tpu.types import Problem
+
+
+class HMCConfig(NamedTuple):
+    """Hyperparameters (reference defaults: stan-bpmf/bpmf.py:187-193)."""
+
+    latent_d: int = 5
+    subtract_mean: bool = True
+    rating_std: float = 0.5
+    beta_0: float = 2.0
+    # nu_0 = latent_d, mu_0 = 0, w_0 = I (the w0identity model)
+    max_depth: int = 8
+
+
+class ParamShapes(NamedTuple):
+    n: int
+    m: int
+    d: int
+
+    @property
+    def n_tri(self) -> int:
+        return max(self.d * (self.d - 1) // 2, 1)
+
+    @property
+    def dim(self) -> int:
+        return (self.n + self.m) * self.d + 2 * self.d + 2 * (self.d + self.n_tri)
+
+
+def unpack(q: jax.Array, s: ParamShapes) -> Dict[str, jax.Array]:
+    """Split the flat unconstrained vector into named parameter blocks."""
+    idx = 0
+
+    def take(k):
+        nonlocal idx
+        out = q[idx : idx + k]
+        idx += k
+        return out
+
+    out = {
+        "U": take(s.n * s.d).reshape(s.n, s.d),
+        "V": take(s.m * s.d).reshape(s.m, s.d),
+        "mu_u_std": take(s.d),
+        "mu_v_std": take(s.d),
+        "log_c_u": take(s.d),
+        "z_u": take(s.n_tri),
+        "log_c_v": take(s.d),
+        "z_v": take(s.n_tri),
+    }
+    return out
+
+
+def pack(params: Dict[str, jax.Array]) -> jax.Array:
+    return jnp.concatenate(
+        [
+            params["U"].reshape(-1),
+            params["V"].reshape(-1),
+            params["mu_u_std"],
+            params["mu_v_std"],
+            params["log_c_u"],
+            params["z_u"],
+            params["log_c_v"],
+            params["z_v"],
+        ]
+    )
+
+
+def init_params(
+    s: ParamShapes, dtype, U: Optional[jax.Array] = None,
+    V: Optional[jax.Array] = None,
+) -> Dict[str, jax.Array]:
+    """Identity-covariance init; factors at the MAP estimate if given
+    (the reference's --model-init PMF warm start, stan-bpmf/bpmf.py:827-865)."""
+    z = lambda k: jnp.zeros(k, dtype)
+    return {
+        "U": (U if U is not None else jnp.zeros((s.n, s.d))).astype(dtype),
+        "V": (V if V is not None else jnp.zeros((s.m, s.d))).astype(dtype),
+        "mu_u_std": z(s.d),
+        "mu_v_std": z(s.d),
+        "log_c_u": z(s.d),
+        "z_u": z(s.n_tri),
+        "log_c_v": z(s.d),
+        "z_v": z(s.n_tri),
+    }
+
+
+def _tri_from(z: jax.Array, sqrt_c: jax.Array, d: int) -> jax.Array:
+    """Lower-triangular Bartlett factor A: diag = sqrt(c), strict lower = z
+    (bpmf_w0identity.stan:83-102; column-major fill order as in Stan)."""
+    a = jnp.diag(sqrt_c)
+    if d > 1:
+        # Stan fills (i, j) for j in 1..d, i in j+1..d — column-major strict
+        # lower (bpmf_w0identity.stan:86-101):
+        order = [(i, j) for j in range(d) for i in range(j + 1, d)]
+        ii = jnp.asarray([o[0] for o in order])
+        jj = jnp.asarray([o[1] for o in order])
+        a = a.at[ii, jj].set(z[: len(order)])
+    return a
+
+
+def _prior_logp_half(
+    feats: jax.Array,  # (rows, d) factor matrix
+    mu_std: jax.Array,
+    log_c: jax.Array,
+    z: jax.Array,
+    cfg: HMCConfig,
+    d: int,
+) -> jax.Array:
+    """Log prior for one side (U or V): chi2/normal Wishart-factor prior,
+    standardized mean, and multi_normal_cholesky factor prior."""
+    dtype = feats.dtype
+    c = jnp.exp(log_c)
+    nu = jnp.asarray(d, dtype)
+    k = nu - jnp.arange(d, dtype=dtype)  # nu_0 - i + 1, i = 1..d
+
+    # c_i ~ chi2(k_i), plus log|dc/dlog_c| = sum(log_c)
+    lp = jnp.sum((k / 2 - 1) * log_c - c / 2) + jnp.sum(log_c)
+    lp = lp - 0.5 * jnp.sum(z * z)
+    # mu_std ~ N(0, (1/beta_0)^2)  [Stan sd = 1/beta_0 — see module docstring]
+    lp = lp - 0.5 * jnp.sum((mu_std * cfg.beta_0) ** 2)
+
+    a = _tri_from(z, jnp.sqrt(c), d)
+    # L = A^{-1}; mu = L mu_std; x_i ~ MVN(mu, L L^T)
+    # log|L| = -log|A| = -0.5 sum(log c); quadratic via A (x - mu)
+    rows = feats.shape[0]
+    mu = jax.scipy.linalg.solve_triangular(a, mu_std, lower=True)
+    resid = (feats - mu) @ a.T  # A (x_i - mu) for all rows at once
+    lp = lp + rows * 0.5 * jnp.sum(log_c) - 0.5 * jnp.sum(resid * resid)
+    return lp
+
+
+def log_posterior(
+    q: jax.Array,
+    problem: Problem,
+    mean_rating,
+    cfg: HMCConfig,
+    shapes: ParamShapes,
+) -> jax.Array:
+    p = unpack(q, shapes)
+    lp = _prior_logp_half(p["U"], p["mu_u_std"], p["log_c_u"], p["z_u"], cfg, shapes.d)
+    lp = lp + _prior_logp_half(
+        p["V"], p["mu_v_std"], p["log_c_v"], p["z_v"], cfg, shapes.d
+    )
+    pred = p["U"] @ p["V"].T
+    r = problem.R_obs - (mean_rating if cfg.subtract_mean else 0.0)
+    err = jnp.where(problem.rated, r - pred, 0.0)
+    lp = lp - 0.5 * jnp.sum(err * err) / cfg.rating_std**2
+    return lp
+
+
+@struct.dataclass
+class BPMFState:
+    """Carries the sampled-mode warm start (stan-bpmf/bpmf.py:218-220)."""
+
+    mode_q: jax.Array  # best-lp flat parameter vector seen so far
+    mode_lp: jax.Array
+    mean_rating: jax.Array
+
+
+def init_state(
+    problem: Problem, cfg: HMCConfig,
+    U: Optional[jax.Array] = None, V: Optional[jax.Array] = None,
+    dtype=jnp.float32,
+) -> BPMFState:
+    n, m = problem.shape
+    s = ParamShapes(n, m, cfg.latent_d)
+    q0 = pack(init_params(s, dtype, U=U, V=V))
+    return BPMFState(
+        mode_q=q0,
+        mode_lp=jnp.asarray(-jnp.inf, dtype),
+        mean_rating=problem.mean_rating().astype(dtype),
+    )
+
+
+def invalidate_mode(state: BPMFState, problem: Problem) -> BPMFState:
+    """After new ratings the stored lp is stale (stan-bpmf/bpmf.py:270-272)."""
+    return state.replace(
+        mode_lp=jnp.asarray(-jnp.inf, state.mode_lp.dtype),
+        mean_rating=problem.mean_rating().astype(state.mean_rating.dtype),
+    )
+
+
+def samples(
+    key: jax.Array,
+    state: BPMFState,
+    problem: Problem,
+    cfg: HMCConfig,
+    num_samps: int,
+    warmup: Optional[int] = None,
+) -> Tuple[BPMFState, Dict[str, jax.Array]]:
+    """Run NUTS for num_samps draws after warmup (default num_samps // 2,
+    stan-bpmf/bpmf.py:310-311), starting at the sampled mode; update the mode
+    from the best-lp draw. Returns (state, {'U','V','lp__'})."""
+    if warmup is None:
+        warmup = num_samps // 2
+    n, m = problem.shape
+    shapes = ParamShapes(n, m, cfg.latent_d)
+
+    def logp(q):
+        return log_posterior(q, problem, state.mean_rating, cfg, shapes)
+
+    qs, info = nuts.run_nuts(
+        key, state.mode_q, logp, num_samps, warmup,
+        cfg=nuts.NUTSConfig(max_depth=cfg.max_depth),
+    )
+    lps = info.logprob
+    best = jnp.argmax(lps)
+    better = lps[best] > state.mode_lp
+    new_state = state.replace(
+        mode_q=jnp.where(better, qs[best], state.mode_q),
+        mode_lp=jnp.where(better, lps[best], state.mode_lp),
+    )
+    nd = n * cfg.latent_d
+    U_s = qs[:, :nd].reshape(num_samps, n, cfg.latent_d)
+    V_s = qs[:, nd : nd + m * cfg.latent_d].reshape(num_samps, m, cfg.latent_d)
+    return new_state, {"U": U_s, "V": V_s, "lp__": lps}
+
+
+# ---------------------------------------------------------------------------
+# Lookahead criteria (reference: stan-bpmf/bpmf.py:392-418, 483-521)
+
+
+def lookahead_scores(
+    key: jax.Array,
+    state: BPMFState,
+    problem: Problem,
+    cfg: HMCConfig,
+    base_stats,
+    rating_values: Tuple[float, ...],
+    stat: str = "total-variance",  # or 'entropy-est'
+    num_samps: int = 30,
+    warmup: int = 15,
+    cand: Optional[jax.Array] = None,
+    dirichlet_alpha: float = 0.1,
+    n_base_samples: int = 128,
+) -> jax.Array:
+    """exp-variance / exp-entropy-est: per (candidate, value) a fresh short
+    NUTS run from the sampled mode, statistic integrated under the
+    Dirichlet-smoothed per-cell marginals."""
+    from amf_tpu.models import sample_stats
+
+    n, m = problem.shape
+    if cand is None:
+        cand = jnp.arange(n * m, dtype=jnp.int32)
+    values = jnp.asarray(sorted(rating_values), dtype=state.mode_q.dtype)
+    n_vals = values.shape[0]
+
+    counts = base_stats.bin_counts
+    denom = n_base_samples + dirichlet_alpha * n_vals
+    weights_full = (counts + dirichlet_alpha) / denom
+    ii, jj = cand // m, cand % m
+    w_c = weights_full[:, ii, jj].T
+
+    def eval_one(i, j, v, k):
+        prob2 = problem.add_rating(i, j, v)
+        st2 = invalidate_mode(state, prob2)
+        st2, samps = samples(k, st2, prob2, cfg, num_samps, warmup)
+        if stat == "entropy-est":
+            return sample_stats.entropy_est_from_factors(
+                samps["U"], samps["V"], st2.mean_rating, cfg.subtract_mean
+            )
+        stats = sample_stats.prediction_stats(
+            samps["U"], samps["V"], st2.mean_rating, cfg.subtract_mean
+        )
+        return jnp.sum(stats.var)
+
+    keys = jax.random.split(key, cand.shape[0] * n_vals).reshape(
+        cand.shape[0], n_vals, -1
+    )
+    evals = jax.vmap(
+        lambda i, j, ks: jax.vmap(lambda v, k: eval_one(i, j, v, k))(values, ks)
+    )(ii, jj, keys)
+    scores = jnp.sum(evals * w_c, axis=-1)
+    return jnp.where(problem.queryable[ii, jj], scores, jnp.nan)

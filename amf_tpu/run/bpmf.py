@@ -1,0 +1,120 @@
+"""CLI for the NUTS BPMF active loop (the reference's Stan path).
+
+Mirrors ``stan-bpmf/bpmf.py MainProgram`` (:644-1056): same flags (--samps,
+--warmup, --lookahead-samps, --test-set, --model-init, ...), criterion keys,
+and results layout. Binary data (values {-1, 1} or {0, 1}) switches the
+metric to binary misclassification like the reference (:53-54, :932-942).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    from amf_tpu.active.stan_loop import KEYS
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--latent-d", "-D", type=int, default=5)
+    parser.add_argument("--steps", "-s", type=int, default=None)
+    parser.add_argument("--samps", "-S", type=int, default=100)
+    parser.add_argument("--warmup", "-W", type=int, default=None)
+    parser.add_argument("--lookahead-samps", type=int, default=100)
+    parser.add_argument("--lookahead-warmup", type=int, default=50)
+    parser.add_argument("--subtract-mean", action="store_true", default=True)
+    parser.add_argument(
+        "--no-subtract-mean", action="store_false", dest="subtract_mean"
+    )
+    parser.add_argument("--model-init", action="store_true", default=True,
+                        help="initialize chains at a PMF MAP fit")
+    parser.add_argument("--no-model-init", action="store_false",
+                        dest="model_init")
+    parser.add_argument("--test-set", default="all")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--float32", action="store_true")
+    parser.add_argument("--verbose", action="store_true", default=True)
+    parser.add_argument("--no-verbose", action="store_false", dest="verbose")
+    parser.add_argument("--load-data", required=True, metavar="FILE")
+    parser.add_argument("--save-results", nargs="?", default=True, const=True,
+                        metavar="FILE")
+    parser.add_argument("--no-save-results", action="store_false",
+                        dest="save_results")
+    parser.add_argument("--note", action="append")
+    parser.add_argument("keys", nargs="*",
+                        help="Choices: {}.".format(", ".join(sorted(KEYS))))
+    args = parser.parse_args(argv)
+
+    key_names = args.keys or sorted(KEYS)
+    for k in key_names:
+        if k not in KEYS:
+            sys.stderr.write(
+                f"Invalid key name {k}; options are {', '.join(sorted(KEYS))}.\n"
+            )
+            sys.exit(1)
+
+    from amf_tpu.utils.platform import setup as platform_setup
+
+    platform_setup(use_x64=not args.float32)
+
+    import jax.numpy as jnp
+
+    from amf_tpu import types
+    from amf_tpu.active.gibbs_loop import split_query_test
+    from amf_tpu.active.stan_loop import run_active_stan
+    from amf_tpu.data.loaders import load_npz_schema
+
+    if args.save_results is True:
+        args.save_results = "results.pkl"
+    if args.save_results:
+        dirname = os.path.dirname(args.save_results)
+        if dirname:
+            os.makedirs(dirname, exist_ok=True)
+
+    data = load_npz_schema(args.load_data)
+    real = data["_real"]
+    ratings = data["_ratings"]
+    vals = tuple(data.get("_rating_vals", ())) or ()
+
+    rng = np.random.default_rng(args.seed)
+    query_on, test_on = split_query_test(real, ratings, args.test_set, rng)
+    if "_test_on" in data:
+        test_on = data["_test_on"]
+
+    dtype = jnp.float32 if args.float32 else jnp.float64
+    problem = types.problem_from_ratings(ratings, real=real, test=test_on, dtype=dtype)
+    problem = problem.replace(queryable=jnp.asarray(query_on))
+
+    binary_acc = set(vals) in ({-1.0, 1.0}, {0.0, 1.0})
+
+    results = run_active_stan(
+        problem, real, key_names,
+        latent_d=args.latent_d,
+        rating_values=vals,
+        subtract_mean=args.subtract_mean,
+        num_samps=args.samps,
+        warmup=args.warmup,
+        lookahead_samps=args.lookahead_samps,
+        lookahead_warmup=args.lookahead_warmup,
+        steps=args.steps,
+        seed=args.seed,
+        model_init_map=args.model_init,
+        binary_acc=binary_acc,
+        dtype=dtype,
+        verbose=args.verbose,
+    )
+
+    if args.save_results:
+        print(f"\nsaving results in '{args.save_results}'")
+        results = dict(results)
+        results["_args"] = vars(args)
+        with open(args.save_results, "wb") as f:
+            pickle.dump(results, f)
+
+
+if __name__ == "__main__":
+    main()

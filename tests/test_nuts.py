@@ -1,0 +1,94 @@
+"""NUTS correctness: posterior-summary agreement on analytically known
+targets (the validation methodology SURVEY.md prescribes for the Stan
+replacement)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from amf_tpu.mcmc import nuts
+
+
+def test_std_normal_1d(key):
+    logp = lambda q: -0.5 * jnp.sum(q**2)
+    samples, info = nuts.run_nuts(
+        key, jnp.zeros(1), logp, num_samples=2000, warmup=500
+    )
+    s = np.asarray(samples).ravel()
+    assert abs(s.mean()) < 0.1
+    assert s.std() == pytest.approx(1.0, abs=0.1)
+    assert float(np.asarray(info.diverging).mean()) < 0.01
+
+
+def test_correlated_gaussian(key):
+    rng = np.random.default_rng(0)
+    d = 4
+    a = rng.normal(size=(d, d))
+    cov = a @ a.T + 0.5 * np.eye(d)
+    prec = jnp.asarray(np.linalg.inv(cov))
+    mu = jnp.asarray(rng.normal(size=d))
+
+    def logp(q):
+        z = q - mu
+        return -0.5 * z @ prec @ z
+
+    samples, info = nuts.run_nuts(
+        key, jnp.zeros(d), logp, num_samples=4000, warmup=1000
+    )
+    s = np.asarray(samples)
+    np.testing.assert_allclose(s.mean(0), np.asarray(mu), atol=0.25)
+    np.testing.assert_allclose(np.cov(s.T), cov, atol=0.5, rtol=0.25)
+    # healthy sampler: acceptance near target, very few divergences
+    assert 0.5 < float(np.asarray(info.accept_prob).mean()) <= 1.0
+    assert float(np.asarray(info.diverging).mean()) < 0.02
+
+
+def test_anisotropic_needs_mass_adaptation(key):
+    """Scales differing by 100x: without mass adaptation this would need tiny
+    steps; the adapted diagonal mass should recover both scales."""
+    scales = jnp.asarray([0.1, 10.0])
+
+    def logp(q):
+        return -0.5 * jnp.sum((q / scales) ** 2)
+
+    samples, info = nuts.run_nuts(
+        key, jnp.zeros(2), logp, num_samples=3000, warmup=1000
+    )
+    s = np.asarray(samples)
+    np.testing.assert_allclose(s.std(0), np.asarray(scales), rtol=0.2)
+
+
+def test_banana_no_nans(key):
+    """Rosenbrock-ish target: just assert stability (finite, low divergence)."""
+
+    def logp(q):
+        x, y = q[0], q[1]
+        return -0.5 * (x**2 / 4 + (y - x**2) ** 2)
+
+    samples, info = nuts.run_nuts(
+        key, jnp.asarray([0.1, 0.1]), logp, num_samples=1500, warmup=800
+    )
+    assert np.isfinite(np.asarray(samples)).all()
+    assert float(np.asarray(info.num_leaves).mean()) > 3
+
+
+def test_vmapped_chains(key):
+    """Chains must vmap (the TPU replacement for Stan's process-parallel
+    chains, stan-bpmf/bpmf.py:314)."""
+    logp = lambda q: -0.5 * jnp.sum(q**2)
+    keys = jax.random.split(key, 4)
+    samples, info = jax.vmap(
+        lambda k: nuts.run_nuts(k, jnp.zeros(3), logp, 500, 300)
+    )(keys)
+    s = np.asarray(samples)
+    assert s.shape == (4, 500, 3)
+    pooled = s.reshape(-1, 3)
+    assert abs(pooled.mean()) < 0.1
+    assert pooled.std() == pytest.approx(1.0, abs=0.12)
+
+
+def test_find_reasonable_step_size(key):
+    logp = lambda q: -0.5 * jnp.sum(q**2)
+    eps = nuts.find_reasonable_step_size(key, jnp.zeros(5), logp, jnp.ones(5))
+    assert 0.01 < float(eps) < 10.0
