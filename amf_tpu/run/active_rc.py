@@ -1,0 +1,105 @@
+"""CLI for the RatingConcentration active loop.
+
+Mirrors the reference bridge ``ratingconcentration/active_rc.py main()``
+(:128-201) minus the MATLAB subprocess machinery: same flags (--delta,
+--pred-mode, --steps), selector keys, 'rc_<key>' result prefixes, and the
+reference's "+.01 if zeros present" data shift (active_rc.py:52-54).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    from amf_tpu.models.ratingconc import RC_KEYS
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--delta", type=float, default=1.5)
+    parser.add_argument("--steps", "-s", type=int, default=None)
+    parser.add_argument("--pred-mode", action="store_true", default=False,
+                        help="evaluate argmax-P predictions instead of E")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--float32", action="store_true")
+    parser.add_argument("--max-iters", type=int, default=500)
+    parser.add_argument("--lookahead-iters", type=int, default=60)
+    parser.add_argument("--verbose", action="store_true", default=True)
+    parser.add_argument("--no-verbose", action="store_false", dest="verbose")
+    parser.add_argument("--load-data", required=True, metavar="FILE")
+    parser.add_argument("--save-results", nargs="?", default=True, const=True,
+                        metavar="FILE")
+    parser.add_argument("--no-save-results", action="store_false",
+                        dest="save_results")
+    parser.add_argument("--note", action="append")
+    parser.add_argument("keys", nargs="*",
+                        help="Choices: {}.".format(", ".join(sorted(RC_KEYS))))
+    args = parser.parse_args(argv)
+
+    key_names = args.keys or sorted(RC_KEYS)
+    for k in key_names:
+        if k not in RC_KEYS:
+            sys.stderr.write(
+                f"Invalid key name {k}; options are {', '.join(sorted(RC_KEYS))}.\n"
+            )
+            sys.exit(1)
+
+    from amf_tpu.utils.platform import setup as platform_setup
+
+    platform_setup(use_x64=not args.float32)
+
+    import jax.numpy as jnp
+
+    from amf_tpu import types
+    from amf_tpu.active.rc_loop import run_active_rc
+    from amf_tpu.data.loaders import load_npz_schema
+
+    if args.save_results is True:
+        args.save_results = "results.pkl"
+    if args.save_results:
+        dirname = os.path.dirname(args.save_results)
+        if dirname:
+            os.makedirs(dirname, exist_ok=True)
+
+    data = load_npz_schema(args.load_data)
+    real = np.asarray(data["_real"], dtype=np.float64)
+    if (real == 0).any():
+        # the maxent model cannot represent 0 (= unknown); reference shifts
+        real = real + 0.01
+        assert not (real == 0).any()
+    ratings = data["_ratings"]
+
+    dtype = jnp.float32 if args.float32 else jnp.float64
+    known = np.zeros(real.shape, dtype=bool)
+    known[ratings[:, 0].astype(int), ratings[:, 1].astype(int)] = True
+    problem = types.problem_from_dense(
+        real, known, test=data.get("_test_on"), dtype=dtype
+    )
+
+    vals = data.get("_rating_vals")
+    results = run_active_rc(
+        problem, real, key_names,
+        delta=args.delta,
+        rating_values=tuple(vals) if vals is not None else None,
+        steps=args.steps, seed=args.seed,
+        pred_mode=args.pred_mode,
+        lookahead_iters=args.lookahead_iters,
+        max_iters=args.max_iters,
+        dtype=dtype, verbose=args.verbose,
+    )
+
+    if args.save_results:
+        print(f"\nsaving results in '{args.save_results}'")
+        out = {("rc_" + k if not k.startswith("_") else k): v
+               for k, v in results.items()}
+        out["_args"] = vars(args)
+        with open(args.save_results, "wb") as f:
+            pickle.dump(out, f)
+
+
+if __name__ == "__main__":
+    main()

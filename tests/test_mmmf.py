@@ -1,0 +1,131 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from amf_tpu import types
+from amf_tpu.active import mmmf_loop
+from amf_tpu.models import mmmf
+
+
+def _toy_labels(rng, n=12, m=10, rank=2, frac=0.6):
+    u = rng.normal(size=(n, rank))
+    v = rng.normal(size=(m, rank))
+    y = np.sign(u @ v.T)
+    y[y == 0] = 1
+    obs = rng.random((n, m)) < frac
+    y_obs = np.where(obs, y, 0.0)
+    return y, y_obs
+
+
+def test_admm_reaches_convex_optimum_certificate(rng):
+    """Optimality certificate: at the optimum of
+    min ||X||_* + C sum hinge(1 - y x), the ADMM dual rho*W must be a
+    nuclear-norm subgradient at X (spectral norm <= 1, <rho W, X> = ||X||_*)
+    and -rho*W an element of C * d(hinge) on observed cells / zero elsewhere.
+    This certifies we match the reference's interior-point SDP optimum
+    (solveD.m) without running an SDP solver."""
+    y, y_obs = _toy_labels(rng)
+    cfg = mmmf.MMMFConfig(C=1.0, max_iters=6000, tol=1e-9)
+    st, iters = mmmf.solve(jnp.asarray(y_obs), cfg)
+    X = np.asarray(st.X)
+    G = np.asarray(st.W) * cfg.rho
+    # KKT for the splitting: -G in d||X||_*  and  G in C * d(hinge)(X)
+
+    sv = np.linalg.svd(G, compute_uv=False)
+    assert sv.max() <= 1.0 + 1e-4
+    nuc = np.linalg.svd(X, compute_uv=False).sum()
+    assert np.vdot(-G, X) == pytest.approx(nuc, rel=1e-3, abs=1e-4)
+
+    # -G in C * d(hinge): zero off-support; in [-C*y, 0]*y-direction on support
+    obs = y_obs != 0
+    off = np.abs(G[~obs])
+    assert off.max() < 1e-4
+    margin = y_obs * X
+    # G in C*d(hinge), d(hinge) = -y*t with t in [0,1]: s := -(G y) = C t,
+    # t = 0 when margin > 1, t = 1 when margin < 1
+    s = -(G * y_obs)
+    assert (s[obs] >= -1e-4).all() and (s[obs] <= cfg.C + 1e-4).all()
+    active = obs & (margin < 1 - 1e-3)
+    assert np.allclose(s[active], cfg.C, atol=1e-3)
+    inactive = obs & (margin > 1 + 1e-3)
+    assert np.abs(s[inactive]).max() < 1e-3
+
+
+def test_admm_matches_independent_proximal_descent(rng):
+    """Second, independent algorithm (proximal subgradient on the primal)
+    must reach the same objective value."""
+    y, y_obs = _toy_labels(rng, n=8, m=6)
+    C = 0.7
+    cfg = mmmf.MMMFConfig(C=C, max_iters=6000, tol=1e-9)
+    st, _ = mmmf.solve(jnp.asarray(y_obs), cfg)
+    f_admm = float(mmmf.objective(st.X, jnp.asarray(y_obs), C))
+
+    # independent: proximal subgradient with diminishing steps (numpy)
+    X = np.zeros_like(y_obs)
+    obs = y_obs != 0
+    for t in range(8000):
+        margin = y_obs * X
+        g = np.where(obs & (margin < 1), -C * y_obs, 0.0)
+        eta = 0.5 / np.sqrt(t + 1)
+        A = X - eta * g
+        u, s, vt = np.linalg.svd(A, full_matrices=False)
+        X = (u * np.maximum(s - eta, 0)) @ vt
+    f_prox = float(mmmf.objective(jnp.asarray(X), jnp.asarray(y_obs), C))
+    assert f_admm <= f_prox + 1e-2
+    assert f_admm == pytest.approx(f_prox, rel=0.02)
+
+
+def test_separable_data_perfect_classification(rng):
+    y, y_obs = _toy_labels(rng, n=10, m=10, rank=1, frac=0.7)
+    cfg = mmmf.MMMFConfig(C=10.0, max_iters=4000, tol=1e-8)
+    st, _ = mmmf.solve(jnp.asarray(y_obs), cfg)
+    X = np.asarray(st.X)
+    obs = y_obs != 0
+    # observed labels classified correctly with near-unit margins
+    assert (np.sign(X[obs]) == y_obs[obs]).mean() > 0.99
+    assert (y_obs * X)[obs].min() > 0.5
+    # rank-1 structure generalizes to held-out cells
+    assert (np.sign(X) == y).mean() > 0.8
+
+
+def test_factors_reconstruct(rng):
+    y, y_obs = _toy_labels(rng)
+    st, _ = mmmf.solve(jnp.asarray(y_obs), mmmf.MMMFConfig(max_iters=2000))
+    xu, xv = mmmf.factors(st.X)
+    np.testing.assert_allclose(
+        np.asarray(xu @ xv.T), np.asarray(st.X), atol=1e-6
+    )
+
+
+def test_selectors(rng, key):
+    X = jnp.asarray(rng.normal(size=(5, 5)))
+    can = jnp.asarray(rng.random((5, 5)) < 0.5)
+    for name in mmmf.MMMF_KEYS:
+        ev, choose_max = mmmf.selector_evals(name, X, can, key)
+        assert ev.shape == (5, 5)
+        off_pool = np.asarray(~can)
+        assert np.isnan(np.asarray(ev)[off_pool]).all()
+
+
+def test_mmmf_active_loop(rng):
+    y, y_obs = _toy_labels(rng, n=8, m=8, rank=1, frac=1.0)
+    known = np.zeros_like(y, dtype=bool)
+    np.fill_diagonal(known, True)
+    prob = types.problem_from_dense(y, known, dtype=jnp.float64)
+    res = mmmf_loop.run_active_mmmf(
+        prob, y, ["min-margin", "random"], C=1.0, steps=3, seed=0,
+        cfg=mmmf.MMMFConfig(C=1.0, max_iters=800, tol=1e-7),
+    )
+    for k in ["min-margin", "random"]:
+        recs = res[k]
+        assert len(recs) == 3
+        assert all(0 <= r[1] <= 1 for r in recs)
+
+
+def test_binarize():
+    real = np.array([[1.0, 3.0, 5.0], [2.0, 0.0, 4.0]])
+    y = mmmf_loop.binarize(real, cutoff=3.0)
+    np.testing.assert_array_equal(y, [[-1, 1, 1], [-1, 0, 1]])
+    already = np.array([[1.0, -1.0], [0.0, 1.0]])
+    np.testing.assert_array_equal(mmmf_loop.binarize(already, None), already)
