@@ -1,0 +1,144 @@
+"""Results-schema tooling.
+
+The shared results-pickle schema (reference: plot_results.py:37-50, 160-166,
+356-371): a dict with ``_real``, ``_ratings``, ``_rating_vals``, optional
+``_test_on``/``_args``, and per-criterion lists of
+``(num_rated, rmse, (i, j), evals_matrix[, pred_matrix])`` tuples, with model
+kinds distinguished by key prefixes ('' = apmf, 'mnpmf_', 'rc_', 'mmmf_',
+'bayes_', 'stan_').
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from amf_tpu.active.criteria import KEY_FUNCS as _APMF_KEYS
+from amf_tpu.active.gibbs_loop import KEYS as _BAYES_KEYS
+from amf_tpu.active.stan_loop import KEYS as _STAN_KEYS
+from amf_tpu.models.mmmf import MMMF_KEYS as _MMMF_KEYS
+from amf_tpu.models.ratingconc import RC_KEYS as _RC_KEYS
+
+KINDS = ("apmf", "mnpmf", "rc", "mmmf", "bayes", "stan")
+
+# key -> nice name, per kind (reference: plot_results.KEY_NAMES :37-50)
+KEY_NAMES: Dict[str, str] = {}
+KEY_NAMES.update({k: v.nice_name for k, v in _APMF_KEYS.items()})
+KEY_NAMES.update({"mnpmf_" + k: "MN: " + v.nice_name for k, v in _APMF_KEYS.items()})
+KEY_NAMES.update({"rc_" + k: "RC: " + v[0] for k, v in _RC_KEYS.items()})
+KEY_NAMES.update({"mmmf_" + k: "MMMF: " + v for k, v in _MMMF_KEYS.items()})
+KEY_NAMES.update({"bayes_" + k: "Bayes: " + v.nice_name for k, v in _BAYES_KEYS.items()})
+KEY_NAMES.update({"stan_" + k: "Stan: " + v.nice_name for k, v in _STAN_KEYS.items()})
+
+
+def guess_kind(results: Dict) -> str:
+    """Infer the producing model family from the ``_kind`` stamp (written by
+    this framework's CLIs) or the key prefixes
+    (reference: plot_results.guess_kind :349-354)."""
+    if "_kind" in results:
+        return results["_kind"]
+    for key in results:
+        if key.startswith("_"):
+            continue
+        for kind in ("mnpmf", "rc", "mmmf", "bayes", "stan"):
+            if key.startswith(kind + "_"):
+                return kind
+    return "apmf"
+
+
+def load_results(path: str, kind: Optional[str] = None) -> Dict:
+    """Load a results pickle and normalize criterion keys to
+    '<kind>_<key>' prefixes (reference: plot_results.load_results :356-371)."""
+    with open(path, "rb") as f:
+        results = pickle.load(f)
+    kind = kind or guess_kind(results)
+    out = {}
+    for key, val in results.items():
+        if key.startswith("_"):
+            out[key] = val
+        elif kind != "apmf" and not key.startswith(kind + "_"):
+            out[f"{kind}_{key}"] = val
+        else:
+            out[key] = val
+    return out
+
+
+def merge_results(base: Dict, extra: Dict) -> Dict:
+    """Merge criterion records from another results file (the reference
+    merges MMMF/RC outputs into a shared pickle, active_mmmf.py:240-245)."""
+    out = dict(base)
+    for key, val in extra.items():
+        if not key.startswith("_"):
+            out[key] = val
+    return out
+
+
+def rmse_curve(records: List[tuple]) -> Tuple[np.ndarray, np.ndarray]:
+    """(num_rated, rmse) arrays from one criterion's records."""
+    ns = np.asarray([r[0] for r in records], dtype=np.float64)
+    errs = np.asarray([r[1] for r in records], dtype=np.float64)
+    return ns, errs
+
+
+def first_step_evals(records: List[tuple]) -> Optional[np.ndarray]:
+    """The first-step criterion map (used for cross-implementation agreement,
+    compare_firsts.py methodology)."""
+    for rec in records[1:]:
+        if rec[3] is not None:
+            return np.asarray(rec[3])
+    return None
+
+
+def aucs(results: Dict) -> Dict[str, float]:
+    """Area under each criterion's RMSE curve (plot_aucs.py analogue)."""
+    from amf_tpu.analysis.metrics import area_under_curve
+
+    out = {}
+    for key, recs in results.items():
+        if key.startswith("_") or not isinstance(recs, list):
+            continue
+        ns, errs = rmse_curve(recs)
+        if len(ns) >= 2:
+            out[key] = area_under_curve(ns, errs)
+    return out
+
+
+def count_ge_cutoff_curve(
+    results: Dict, key: str, cutoff: float
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Discovery curve: cumulative count of queried cells with true value >=
+    cutoff (reference: plot_results.py:200-213)."""
+    real = results["_real"]
+    recs = results[key]
+    ns, counts = [], []
+    total = 0
+    for num_rated, _, ij, _ in recs:
+        if ij is not None and real[ij[0], ij[1]] >= cutoff:
+            total += 1
+        ns.append(num_rated)
+        counts.append(total)
+    return np.asarray(ns), np.asarray(counts)
+
+
+def compare_first_steps(
+    results_list: List[Dict], keys: List[str]
+) -> Dict[Tuple[str, str], float]:
+    """Pairwise Kendall-tau agreement between first-step criterion maps
+    across results files (reference: compare_firsts.py:133-151)."""
+    from amf_tpu.analysis.metrics import kendall_tau
+
+    maps = {}
+    for res in results_list:
+        for key in keys:
+            if key in res:
+                ev = first_step_evals(res[key])
+                if ev is not None:
+                    maps[key] = ev
+    out = {}
+    names = sorted(maps)
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            out[(a, b)] = kendall_tau(maps[a], maps[b])
+    return out

@@ -1,80 +1,95 @@
 """Multi-chip dry run used by the driver's ``dryrun_multichip``.
 
 Builds an n-device 1-D mesh over the candidate axis (the framework's scaling
-axis — see SURVEY.md §2.4.1) and executes one full sharded active-learning
-step on tiny shapes: per-candidate hypothesized-rating PMF refits fanned out
-with ``shard_map``, followed by the argmax reduction.
+axis — SURVEY.md §2.4.1) and executes one FULL sharded active-learning
+training step on tiny shapes, using the real lookahead engine:
+  1. vmapped (candidate x rating-value) lookahead refits, candidates sharded
+     over the mesh with shard_map;
+  2. the argmax collective picking the query cell;
+  3. the masked add-rating update;
+  4. the PMF MAP refit and variational-normal KL refit.
 """
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import PartitionSpec as P
 
 from amf_tpu import types
+from amf_tpu.active import criteria as criteria_mod
+from amf_tpu.active import lookahead as lookahead_mod
 from amf_tpu.data import make_fake_data
-from amf_tpu.models import pmf
-from amf_tpu.parallel.mesh import CANDIDATE_AXIS, make_mesh
+from amf_tpu.models import pmf, vnormal
+from jax.sharding import Mesh
+
+from amf_tpu.parallel.sharding import best_candidate, sharded_candidate_scores
 
 
 def run_dryrun(n_devices: int) -> None:
-    if len(jax.devices()) < n_devices:
+    devices = jax.devices()
+    if len(devices) < n_devices:
         # fall back to the virtual host-device trick (requires
-        # --xla_force_host_platform_device_count to be >= n_devices)
-        jax.config.update("jax_platforms", "cpu")
-        if len(jax.devices()) < n_devices:
+        # --xla_force_host_platform_device_count to be >= n_devices); query
+        # the cpu platform directly — the default platform may already be
+        # pinned by the host environment
+        devices = jax.devices("cpu")
+        if len(devices) < n_devices:
             raise RuntimeError(
-                f"need {n_devices} devices, have {len(jax.devices())}; set "
+                f"need {n_devices} devices, have {len(devices)}; set "
                 "XLA_FLAGS=--xla_force_host_platform_device_count"
             )
-    mesh = make_mesh(n_devices)
+        jax.config.update("jax_default_device", devices[0])
+    mesh = Mesh(np.asarray(devices[:n_devices]), ("candidates",))
+
     rng = np.random.default_rng(0)
-    real, known, _ = make_fake_data(
-        num_users=8, num_items=8, rank=2, mask_type="diag", rng=rng
+    real, known, vals = make_fake_data(
+        num_users=6, num_items=6, rank=2, data_type=5, mask_type="diag", rng=rng
     )
     prob = types.problem_from_dense(real, known)
-    cfg = pmf.PMFConfig(latent_d=2, max_fit_steps=40)
-    state = pmf.init_state(jax.random.PRNGKey(0), *prob.shape, cfg, prob)
-    state, _ = pmf.fit(state, prob, cfg)
-
     n, m = prob.shape
-    n_cells = n * m
-    # pad candidate axis to a device multiple
-    pad = (-n_cells) % n_devices
-    cand = jnp.arange(n_cells + pad, dtype=jnp.int32)
-    valid = cand < n_cells
-
-    def score_one(c, v):
-        i, j = c // m, c % m
-        hyp = prob.add_rating(i, j, 3.0)
-        st, _ = pmf.fit(state, hyp, cfg, max_steps=20)
-        pred = pmf.predicted_matrix(st, cfg)
-        err = jnp.where(hyp.rated, hyp.R_obs - pred, 0.0)
-        return jnp.where(v & prob.queryable[i, j], jnp.sum(err * err), jnp.inf)
-
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(CANDIDATE_AXIS), P(CANDIDATE_AXIS)),
-        out_specs=P(CANDIDATE_AXIS),
+    pcfg = pmf.PMFConfig(latent_d=2, max_fit_steps=40)
+    vcfg = vnormal.VNConfig(latent_d=2, max_fit_steps=30)
+    adapter = lookahead_mod.vn_adapter(vcfg)
+    lcfg = lookahead_mod.LookaheadConfig(
+        rating_values=tuple(vals), discretize="sum",
+        pmf_refit_steps=15, approx_refit_steps=15,
     )
-    def score_shard(cs, vs):
-        return jax.vmap(score_one)(cs, vs)
+    crit = criteria_mod.KEY_FUNCS["total-variance"]
+
+    key = jax.random.PRNGKey(0)
+    pst = pmf.init_state(key, n, m, pcfg, prob)
+    pst, _ = pmf.fit(pst, prob, pcfg)
+    ast = adapter.init_approx(jax.random.fold_in(key, 1), pst)
+    ast = adapter.fit_approx(ast, pst, prob, 30)
+
+    def score_flat(cand, k):
+        return lookahead_mod.lookahead_scores(
+            crit, pst, ast, prob, k, pcfg, adapter, lcfg, cand=cand
+        )
+
+    score_all = sharded_candidate_scores(score_flat, n * m, mesh)
 
     @jax.jit
-    def active_step(cand, valid):
-        scores = score_shard(cand, valid)
-        return jnp.argmin(scores), scores
+    def train_step(k):
+        scores = score_all(k)
+        flat = best_candidate(scores, prob.queryable.ravel(), crit.maximize)
+        i, j = flat // m, flat % m
+        prob2 = prob.add_rating(i, j, 3.0)
+        pst2, _ = pmf.fit(pst, prob2, pcfg, max_steps=15)
+        ast2 = adapter.fit_approx(ast, pst2, prob2, 15)
+        pred = pmf.predicted_matrix(pst2, pcfg)
+        return flat, scores, pred, ast2.mean
 
-    best, scores = active_step(cand, valid)
-    best = int(best)
-    assert 0 <= best < n_cells
-    assert bool(np.isfinite(np.asarray(scores)).any())
+    flat, scores, pred, _ = train_step(jax.random.fold_in(key, 2))
+    flat = int(flat)
+    scores_np = np.asarray(scores)
+    queryable = np.asarray(prob.queryable).ravel()
+    assert 0 <= flat < n * m and queryable[flat]
+    assert np.isfinite(scores_np[queryable]).all()
+    assert np.isnan(scores_np[~queryable]).all()
+    assert np.isfinite(np.asarray(pred)).all()
     print(
-        f"dryrun_multichip ok: {n_devices} devices, picked cell "
-        f"({best // m}, {best % m})"
+        f"dryrun_multichip ok: {n_devices} devices, full lookahead step, "
+        f"picked cell ({flat // m}, {flat % m})"
     )

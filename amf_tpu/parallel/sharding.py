@@ -1,0 +1,70 @@
+"""Sharded lookahead scoring over a device mesh.
+
+The candidate axis of one-step lookahead is the framework's scaling axis
+(SURVEY.md §2.4.1): per-candidate refits are independent until the final
+argmax, so candidates shard over the mesh via ``shard_map`` with a single
+gather at the end — the TPU-native replacement for the reference's
+lock-guarded multiprocessing pool (active_pmf.py:1064-1082). Collectives ride
+ICI; no pickle IPC.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from amf_tpu.parallel.mesh import CANDIDATE_AXIS
+
+
+def sharded_candidate_scores(
+    score_flat_fn,
+    n_cells: int,
+    mesh: Mesh,
+    axis_name: str = CANDIDATE_AXIS,
+):
+    """Wrap a flat-candidate scorer for mesh execution.
+
+    score_flat_fn(cand_idx (C,), key) -> (C,) scores (NaN off-pool), where
+    every per-candidate computation is independent (it is: each lookahead
+    lane refits its own hypothesized problem).
+
+    Returns a jittable fn(key) -> (n_cells,) scores, computed with the
+    candidate axis sharded over the mesh (padding to a device multiple).
+    """
+    n_dev = mesh.devices.size
+    pad = (-n_cells) % n_dev
+    total = n_cells + pad
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name), P()),
+        out_specs=P(axis_name),
+    )
+    def score_shard(cand, key):
+        # fold the shard's first candidate index into the key so random
+        # criteria stay distinct across shards
+        local_key = jax.random.fold_in(key, cand[0])
+        return score_flat_fn(cand, local_key)
+
+    def run(key):
+        cand = jnp.arange(total, dtype=jnp.int32)
+        scores = score_shard(cand, key)
+        return scores[:n_cells]
+
+    return run
+
+
+def best_candidate(scores: jax.Array, queryable_flat: jax.Array, maximize: bool):
+    """Final argmax/argmin reduction (the only cross-candidate communication;
+    reference analogue: the chooser over pool.map results,
+    active_pmf.py:729-737)."""
+    if maximize:
+        masked = jnp.where(queryable_flat, scores, -jnp.inf)
+        return jnp.argmax(masked)
+    masked = jnp.where(queryable_flat, scores, jnp.inf)
+    return jnp.argmin(masked)

@@ -90,6 +90,7 @@ def main(argv=None):
         print(f"\nsaving results in '{args.save_results}'")
         out = {("mmmf_" + k if not k.startswith("_") else k): v
                for k, v in results.items()}
+        out["_kind"] = "mmmf"
         out["_args"] = vars(args)
         with open(args.save_results, "wb") as f:
             pickle.dump(out, f)

@@ -160,6 +160,7 @@ def main(argv=None):
         print(f"saving results in '{args.save_results}'")
         results = dict(results)
         results.pop("_initial_state", None)  # device arrays; not portable
+        results["_kind"] = "mnpmf" if args.model == "mn" else "apmf"
         results["_args"] = vars(args)
         with open(args.save_results, "wb") as f:
             pickle.dump(results, f)

@@ -96,6 +96,7 @@ def main(argv=None):
         print(f"\nsaving results in '{args.save_results}'")
         out = {("rc_" + k if not k.startswith("_") else k): v
                for k, v in results.items()}
+        out["_kind"] = "rc"
         out["_args"] = vars(args)
         with open(args.save_results, "wb") as f:
             pickle.dump(out, f)

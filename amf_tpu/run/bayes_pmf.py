@@ -106,6 +106,7 @@ def main(argv=None):
     if args.save_results:
         print(f"\nsaving results in '{args.save_results}'")
         results = dict(results)
+        results["_kind"] = "bayes"
         results["_args"] = vars(args)
         with open(args.save_results, "wb") as f:
             pickle.dump(results, f)
