@@ -57,6 +57,8 @@ def run_active_pmf(
     lookahead_budget: int = 300,
     dtype=jnp.float64,
     verbose: bool = False,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 20,
 ) -> Dict[str, object]:
     """Run the full multi-criterion comparison (reference: compare(),
     active_pmf.py:1013-1092). Returns the reference results schema."""
@@ -165,6 +167,10 @@ def run_active_pmf(
             score_fns[crit.name] = fn
         return score_fns[crit.name]
 
+    from amf_tpu.utils.checkpoint import LoopCheckpointer
+
+    ckpt = LoopCheckpointer(checkpoint_path, every=checkpoint_every)
+
     # ---- per-criterion loops (reference: full_test :796-850)
     for key_name in key_names:
         crit = registry[key_name]
@@ -173,8 +179,17 @@ def run_active_pmf(
         pst_k, ast_k = pst, ast
         kloop = jax.random.fold_in(key, hash(key_name) % (2**31))
 
-        rmse0 = float(test_rmse(pst_k, prob_k))
-        records: List[tuple] = [(int(prob_k.n_rated), rmse0, None, None)]
+        # resume from a partial checkpoint by replaying recorded picks
+        # (reference analogue: partial_results saving, SURVEY.md §5.4)
+        prob_k, records = ckpt.replay(key_name, prob_k, real)
+        if records:
+            kloop, krefit = jax.random.split(kloop)
+            pst_k, ast_k = refit(pst_k, ast_k, prob_k, krefit)
+            if verbose:
+                print(f"{crit.nice_name}: resumed at step {len(records) - 1}")
+        else:
+            rmse0 = float(test_rmse(pst_k, prob_k))
+            records = [(int(prob_k.n_rated), rmse0, None, None)]
         t0 = time.time()
 
         max_steps = steps if steps is not None else n * m
@@ -194,12 +209,14 @@ def run_active_pmf(
             pst_k, ast_k = refit(pst_k, ast_k, prob_k, krefit)
             err = float(test_rmse(pst_k, prob_k))
             records.append((int(prob_k.n_rated), err, (i, j), evals))
+            ckpt.update(key_name, records)
             if verbose:
                 print(
                     f"{crit.nice_name:<36} step {len(records) - 1}: "
                     f"picked ({i},{j}), rmse {err:.5f}"
                 )
 
+        ckpt.update(key_name, records, force=True)
         results[key_name] = records
         if verbose:
             print(f"{crit.nice_name}: {len(records) - 1} steps in "

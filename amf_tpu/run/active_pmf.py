@@ -74,6 +74,9 @@ def build_parser():
                          dest="save_results")
     results.add_argument("--note", action="append",
                          help="Saved into the results file; otherwise unused.")
+    results.add_argument("--checkpoint", default=None, metavar="FILE",
+                         help="partial-results file for mid-run checkpoints "
+                              "and exact resume")
     return parser
 
 
@@ -154,6 +157,7 @@ def main(argv=None):
         lookahead_budget=args.lookahead_budget,
         dtype=jnp.float32 if args.float32 else jnp.float64,
         verbose=args.verbose,
+        checkpoint_path=args.checkpoint,
     )
 
     if args.save_results:
