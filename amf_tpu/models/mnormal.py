@@ -135,11 +135,11 @@ def fit_normal(
             mean=x[0], cov_useritems=x[1], cov_latents=x[2],
         )
 
-    kl_grad = jax.grad(value_fn)
+    kl_vag = jax.value_and_grad(value_fn)
 
-    def grad_fn(x):
-        gm, gr, gc = kl_grad(x)
-        return (gm, _tri_symmetrize(gr), _tri_symmetrize(gc))
+    def value_and_grad_fn(x):
+        f, (gm, gr, gc) = kl_vag(x)
+        return f, (gm, _tri_symmetrize(gr), _tri_symmetrize(gc))
 
     def step_fn(x, g, lr):
         return (
@@ -151,12 +151,13 @@ def fit_normal(
     (mean, Sr, Sc), info = adaptive_descent(
         (mn.mean, mn.cov_useritems, mn.cov_latents),
         value_fn,
-        grad_fn,
+        None,
         step_fn,
         lr0=cfg.learning_rate,
         stop_thresh=cfg.stop_thresh,
         min_lr=cfg.min_lr,
         max_steps=max_steps,
+        value_and_grad_fn=value_and_grad_fn,
     )
     return MNState(mean=mean, cov_useritems=Sr, cov_latents=Sc), info
 

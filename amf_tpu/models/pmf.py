@@ -150,9 +150,11 @@ def fit(
     def value_fn(uv):
         return -log_likelihood(state, problem, cfg, U=uv[0], V=uv[1])
 
-    def grad_fn(uv):
-        gu, gv = gradient(state, problem, cfg, U=uv[0], V=uv[1])
-        return (gu, gv)
+    def value_and_grad_fn(uv):
+        # one fused pass: the forward residual is reused by the backward
+        # matmuls (vs the reference's separate log_likelihood + gradient)
+        f, (gu, gv) = jax.value_and_grad(value_fn)(uv)
+        return f, (-gu, -gv)  # ascent direction, matching gradient()
 
     def step_fn(uv, g, lr):
         return (uv[0] + lr * g[0], uv[1] + lr * g[1])
@@ -160,12 +162,13 @@ def fit(
     (U, V), info = adaptive_descent(
         (state.U, state.V),
         value_fn,
-        grad_fn,
+        None,
         step_fn,
         lr0=cfg.learning_rate,
         stop_thresh=cfg.stop_thresh,
         min_lr=cfg.min_learning_rate,
         max_steps=max_steps,
+        value_and_grad_fn=value_and_grad_fn,
     )
     return state.replace(U=U, V=V), info
 
@@ -232,6 +235,88 @@ def fit_with_sigmas(
     init = (state, jnp.int32(2 ** 30), jnp.int32(0))
     st, _, _ = jax.lax.while_loop(cond, body, init)
     return st
+
+
+# ---------------------------------------------------------------------------
+# Batched lookahead refits (the hot path of one-step lookahead scoring)
+
+
+def fit_lookahead_batch(
+    state: PMFState,
+    problem: Problem,
+    delta_i: jax.Array,  # (L,) candidate rows
+    delta_j: jax.Array,  # (L,) candidate cols
+    delta_v: jax.Array,  # (L,) hypothesized values
+    cfg: PMFConfig,
+    max_steps: int,
+    use_pallas: bool = True,
+    block_rows: int = 256,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Refit the MAP factors for L hypothesized (i, j, v) ratings at once.
+
+    Same adaptive-LR accept/reject semantics as ``fit`` but vectorized over
+    lanes with the fused Pallas kernel (ops.pallas_kernels): the base R/mask
+    are shared across lanes and per-lane deltas are applied in-kernel, so no
+    per-lane (n, m) problem copies or residual intermediates ever reach HBM —
+    the memory behavior that makes plain vmap-of-``fit`` OOM/bandwidth-bound
+    on reference-scale matrices.
+
+    Returns (U (L, n, d), V (L, m, d), neg_ll (L,)).
+    Note: assumes subtract_mean=False (the ActivePMF setting).
+    """
+    from amf_tpu.ops import pallas_kernels as pk
+
+    L = delta_i.shape[0]
+    n, m = problem.shape
+    kernel = (
+        (lambda U, V: pk.pmf_batched_value_grad(
+            U, V, problem.R_obs, problem.rated,
+            delta_i, delta_j, delta_v, sigmas, block_rows=block_rows))
+        if use_pallas
+        else (lambda U, V: pk.pmf_batched_value_grad_reference(
+            U, V, problem.R_obs, problem.rated, delta_i, delta_j, delta_v,
+            sigmas))
+    )
+    sigmas = jnp.stack(
+        [state.sigma_sq, state.sigma_u_sq, state.sigma_v_sq]
+    ).astype(jnp.float32)
+
+    U0 = jnp.broadcast_to(state.U[None], (L, n, cfg.latent_d)).astype(jnp.float32)
+    V0 = jnp.broadcast_to(state.V[None], (L, m, cfg.latent_d)).astype(jnp.float32)
+    f0, gu0, gv0 = kernel(U0, V0)
+
+    lr0 = jnp.full((L,), cfg.learning_rate, jnp.float32)
+    done0 = jnp.zeros((L,), bool)
+
+    def cond(c):
+        *_, done, it = c
+        return jnp.any(~done) & (it < max_steps)
+
+    def body(c):
+        U, V, gu, gv, lr, f, done, it = c
+        Up = U + lr[:, None, None] * gu
+        Vp = V + lr[:, None, None] * gv
+        fp, gup, gvp = kernel(Up, Vp)
+        accept = jnp.isfinite(fp) & (fp < f) & ~done
+        reject = ~accept & ~done
+        conv = jnp.where(
+            accept, (f - fp) < cfg.stop_thresh,
+            lr * 0.5 < cfg.min_learning_rate,
+        )
+        sel = lambda a, b: jnp.where(accept[:, None, None], a, b)
+        U = sel(Up, U)
+        V = sel(Vp, V)
+        gu = sel(gup, gu)
+        gv = sel(gvp, gv)
+        lr = jnp.where(accept, lr * 1.25, jnp.where(reject, lr * 0.5, lr))
+        f = jnp.where(accept, fp, f)
+        done = done | ((accept | reject) & conv)
+        return U, V, gu, gv, lr, f, done, it + 1
+
+    U, V, _, _, _, f, _, _ = jax.lax.while_loop(
+        cond, body, (U0, V0, gu0, gv0, lr0, f0, done0, jnp.int32(0))
+    )
+    return U, V, f
 
 
 # ---------------------------------------------------------------------------

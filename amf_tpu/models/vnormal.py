@@ -117,11 +117,11 @@ def fit_normal(
     def value_fn(x):
         return kl_divergence(vn, pmf_state, problem, cfg, mean=x[0], cov=x[1])
 
-    kl_grad = jax.grad(value_fn)
+    kl_vag = jax.value_and_grad(value_fn)
 
-    def grad_fn(x):
-        gm, gc = kl_grad(x)
-        return (gm, _tri_symmetrize(gc))
+    def value_and_grad_fn(x):
+        f, (gm, gc) = kl_vag(x)
+        return f, (gm, _tri_symmetrize(gc))
 
     def step_fn(x, g, lr):
         return (
@@ -132,12 +132,13 @@ def fit_normal(
     (mean, cov), info = adaptive_descent(
         (vn.mean, vn.cov),
         value_fn,
-        grad_fn,
+        None,
         step_fn,
         lr0=cfg.learning_rate,
         stop_thresh=cfg.stop_thresh,
         min_lr=cfg.min_lr,
         max_steps=max_steps,
+        value_and_grad_fn=value_and_grad_fn,
     )
     return VNState(mean=mean, cov=cov), info
 

@@ -19,7 +19,7 @@ ascent loops exactly (same accept/reject trajectory, same thresholds).
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +43,7 @@ def adaptive_descent(
     max_steps: int,
     grow: float = 1.25,
     shrink: float = 0.5,
+    value_and_grad_fn: Optional[Callable] = None,
 ) -> Tuple[object, DescentInfo]:
     """Minimize ``value_fn`` from ``x0`` with the reference's adaptive-LR rule.
 
@@ -55,9 +56,19 @@ def adaptive_descent(
       lr0/stop_thresh/min_lr: the reference's learning_rate / stop_thresh /
         min_learning_rate knobs (pmf.py:28-30).
       max_steps: hard iteration bound (counts proposals, accepted or not).
+      value_and_grad_fn: optional fused x -> (f, g). When given, the loop
+        carries (f, g) of the current point and evaluates one fused
+        value+gradient per proposal — one shared forward instead of separate
+        value and gradient passes (25%+ less HBM traffic for matmul-bound
+        losses). The accept/reject trajectory is mathematically identical.
 
     Returns (x_final, DescentInfo).
     """
+    if value_and_grad_fn is not None:
+        return _adaptive_descent_fused(
+            x0, value_and_grad_fn, step_fn, lr0, stop_thresh, min_lr,
+            max_steps, grow, shrink,
+        )
     f0 = value_fn(x0)
     # Under shard_map, value_fn typically closes over sharded ("varying")
     # operands while x0 may be a replicated closure constant. The while_loop
@@ -106,4 +117,54 @@ def adaptive_descent(
 
     init = (x0, lr0_arr, f0, done0, iter0, iter0)
     x, lr, f, _, n_iters, n_accepts = jax.lax.while_loop(cond, body, init)
+    return x, DescentInfo(f, lr, n_iters, n_accepts)
+
+
+def _adaptive_descent_fused(
+    x0, value_and_grad_fn, step_fn, lr0, stop_thresh, min_lr, max_steps,
+    grow, shrink,
+):
+    """Fused-value-and-grad variant: identical trajectory, fewer passes.
+
+    Carries (f, g) at the current accepted point; each proposal costs one
+    fused evaluation. The gradient computed at a rejected proposal is simply
+    discarded (the reference reuses the accepted point's gradient across
+    rejected learning rates; so do we, by carrying it)."""
+    f0, g0 = value_and_grad_fn(x0)
+    zero = jnp.zeros((), f0.dtype) * f0
+    x0 = jax.tree.map(lambda a: a + zero.astype(a.dtype), x0)
+    g0 = jax.tree.map(lambda a: a + zero.astype(a.dtype), g0)
+    lr0_arr = jnp.asarray(lr0, dtype=f0.dtype) + zero
+    done0 = jnp.asarray(False) | (zero != 0)
+    iter0 = jnp.int32(0) + zero.astype(jnp.int32)
+
+    def _select(pred, a, b):
+        return jax.tree.map(lambda u, v: jnp.where(pred, u, v), a, b)
+
+    def cond(carry):
+        _, _, _, _, done, n_iters, _ = carry
+        return jnp.logical_and(~done, n_iters < max_steps)
+
+    def body(carry):
+        x, g, lr, old_f, done, n_iters, n_accepts = carry
+        x_prop = step_fn(x, g, lr)
+        new_f, new_g = value_and_grad_fn(x_prop)
+        accept = jnp.isfinite(new_f) & (new_f < old_f)
+
+        conv = jnp.where(
+            accept, (old_f - new_f) < stop_thresh, lr * shrink < min_lr
+        )
+        x = _select(accept, x_prop, x)
+        g = _select(accept, new_g, g)
+        lr = jnp.where(accept, lr * grow, lr * shrink)
+        old_f = jnp.where(accept, new_f, old_f)
+        return (
+            x, g, lr, old_f,
+            done | conv,
+            n_iters + 1,
+            n_accepts + accept.astype(jnp.int32),
+        )
+
+    init = (x0, g0, lr0_arr, f0, done0, iter0, iter0)
+    x, _, lr, f, _, n_iters, n_accepts = jax.lax.while_loop(cond, body, init)
     return x, DescentInfo(f, lr, n_iters, n_accepts)

@@ -47,21 +47,25 @@ def main():
 
     cand_all = np.argsort(~np.asarray(prob.queryable).ravel(), kind="stable")
     cand_all = jnp.asarray(cand_all[:N_CAND], dtype=jnp.int32)
+    di_all = cand_all // m
+    dj_all = cand_all % m
+    dv_all = jnp.sum(state.U[di_all] * state.V[dj_all], axis=1)
 
-    def score_one(c):
-        i, j = c // m, c % m
-        hyp = prob.add_rating(i, j, state.U[i] @ state.V[j])
-        st, _ = pmf.fit(state, hyp, cfg, max_steps=REFIT_STEPS)
-        pred = pmf.predicted_matrix(st, cfg)
-        err = jnp.where(hyp.rated, hyp.R_obs - pred, 0.0)
-        return jnp.sum(err * err)
-
-    tile_fn = jax.jit(jax.vmap(score_one))
+    # Fused Pallas path: base R/mask shared across lanes, per-lane deltas
+    # applied in-kernel, no per-lane (n, m) intermediates in HBM.
+    @jax.jit
+    def tile_fn(di, dj, dv):
+        _, _, neg_ll = pmf.fit_lookahead_batch(
+            state, prob, di, dj, dv, cfg, max_steps=REFIT_STEPS,
+            use_pallas=True,
+        )
+        return neg_ll
 
     def score_all():
         outs = []
         for t in range(N_CAND // TILE):
-            outs.append(tile_fn(jax.lax.dynamic_slice(cand_all, (t * TILE,), (TILE,))))
+            s = slice(t * TILE, (t + 1) * TILE)
+            outs.append(tile_fn(di_all[s], dj_all[s], dv_all[s]))
         return jnp.concatenate(outs)
 
     score_all()[0].block_until_ready()  # compile

@@ -1,0 +1,106 @@
+"""Pallas kernel tests (interpret mode on CPU; the real-TPU path is exercised
+by bench.py on hardware)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from amf_tpu.ops import pallas_kernels as pk
+
+
+def _setup(rng, L=3, n=12, m=9, d=4):
+    U = jnp.asarray(rng.normal(size=(L, n, d)), jnp.float32)
+    V = jnp.asarray(rng.normal(size=(L, m, d)), jnp.float32)
+    R = jnp.asarray(rng.integers(1, 6, size=(n, m)), jnp.float32)
+    rated = jnp.asarray(rng.random((n, m)) < 0.4)
+    di = jnp.asarray(rng.integers(0, n, L), jnp.int32)
+    dj = jnp.asarray(rng.integers(0, m, L), jnp.int32)
+    dv = jnp.asarray(rng.integers(1, 6, L), jnp.float32)
+    sigmas = jnp.asarray([1.0, 10.0, 10.0], jnp.float32)
+    return U, V, R, rated, di, dj, dv, sigmas
+
+
+def test_reference_matches_pmf_gradient(rng):
+    """The batched oracle must agree with models.pmf.gradient on the
+    per-lane problem."""
+    from amf_tpu import types
+    from amf_tpu.models import pmf
+
+    U, V, R, rated, di, dj, dv, sigmas = _setup(rng)
+    neg_ll, gu, gv = pk.pmf_batched_value_grad_reference(
+        U, V, R, rated, di, dj, dv, sigmas
+    )
+    cfg = pmf.PMFConfig(latent_d=4)
+    for lane in range(U.shape[0]):
+        prob = types.Problem(
+            R_obs=R.at[di[lane], dj[lane]].set(dv[lane]),
+            rated=rated.at[di[lane], dj[lane]].set(True),
+            queryable=jnp.zeros_like(rated),
+            test=rated,
+        )
+        st = pmf.PMFState(
+            U=U[lane], V=V[lane],
+            sigma_sq=sigmas[0], sigma_u_sq=sigmas[1], sigma_v_sq=sigmas[2],
+            mean_rating=jnp.float32(0),
+        )
+        want_gu, want_gv = pmf.gradient(st, prob, cfg)
+        want_ll = -pmf.log_likelihood(st, prob, cfg)
+        np.testing.assert_allclose(np.asarray(gu[lane]), np.asarray(want_gu),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gv[lane]), np.asarray(want_gv),
+                                   rtol=1e-5, atol=1e-5)
+        assert float(neg_ll[lane]) == pytest.approx(float(want_ll), rel=1e-5)
+
+
+def test_pallas_kernel_matches_reference_interpret(rng, monkeypatch):
+    """Run the pallas kernel in interpreter mode and compare to the oracle."""
+    from jax.experimental import pallas as pl
+
+    U, V, R, rated, di, dj, dv, sigmas = _setup(rng, L=4, n=16, m=8, d=4)
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*args, **kw):
+        kw["interpret"] = True
+        return orig_call(*args, **kw)
+
+    monkeypatch.setattr(pk.pl, "pallas_call", interp_call)
+    # bypass the jit wrapper so the monkeypatch is seen
+    fn = pk.pmf_batched_value_grad.__wrapped__
+
+    neg_ll, gu, gv = fn(U, V, R, rated, di, dj, dv, sigmas, block_rows=8)
+    wll, wgu, wgv = pk.pmf_batched_value_grad_reference(
+        U, V, R, rated, di, dj, dv, sigmas
+    )
+    np.testing.assert_allclose(np.asarray(neg_ll), np.asarray(wll), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gu), np.asarray(wgu), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(wgv), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_pallas_kernel_row_padding(rng, monkeypatch):
+    """n not divisible by the block size exercises the padding path."""
+    from jax.experimental import pallas as pl
+
+    U, V, R, rated, di, dj, dv, sigmas = _setup(rng, L=2, n=13, m=8, d=4)
+    orig_call = pl.pallas_call
+
+    def interp_call(*args, **kw):
+        kw["interpret"] = True
+        return orig_call(*args, **kw)
+
+    monkeypatch.setattr(pk.pl, "pallas_call", interp_call)
+    fn = pk.pmf_batched_value_grad.__wrapped__
+    neg_ll, gu, gv = fn(U, V, R, rated, di, dj, dv, sigmas, block_rows=8)
+    wll, wgu, wgv = pk.pmf_batched_value_grad_reference(
+        U, V, R, rated, di, dj, dv, sigmas
+    )
+    np.testing.assert_allclose(np.asarray(neg_ll), np.asarray(wll), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gu), np.asarray(wgu), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(wgv), rtol=1e-4,
+                               atol=1e-5)
