@@ -80,6 +80,7 @@ def run_active_gibbs(
     subtract_mean: bool = True,
     num_samps: int = 128,
     lookahead_samps: int = 30,
+    lookahead_tile: int = 0,
     steps: Optional[int] = None,
     seed: int = 0,
     fit_type: tuple = ("batch",),
@@ -133,6 +134,7 @@ def run_active_gibbs(
         lambda k, pst, prob, stats: bpmf_gibbs.exp_variance_scores(
             k, pst, prob, pcfg, gcfg, stats, vals,
             num_samps=lookahead_samps, n_base_samples=num_samps,
+            candidate_tile=lookahead_tile,
         ).reshape(n, m)
     ) if vals else None
 

@@ -35,6 +35,9 @@ class LookaheadConfig(NamedTuple):
     n_integration_nodes: int = 16  # continuous mode nodes
     pmf_refit_steps: int = 300  # budget for in-lookahead MAP refits
     approx_refit_steps: int = 300  # budget for in-lookahead KL refits
+    # candidates per vmapped pass; each lane carries its own problem copy and
+    # approximation state, so this bounds peak memory (0 = all at once).
+    candidate_tile: int = 0
 
 
 class ModelAdapter(NamedTuple):
@@ -180,9 +183,31 @@ def lookahead_scores(
         cand.shape[0], n_vals, -1
     )
 
-    evals = jax.vmap(
+    eval_tile = jax.vmap(
         lambda i, j, vs, ks: jax.vmap(lambda v, k: eval_one(i, j, v, k))(vs, ks)
-    )(ii, jj, vals_c, keys)  # (C, V)
+    )
+
+    tile = lcfg.candidate_tile
+    if tile and cand.shape[0] > tile:
+        # bound peak memory: lax.map over candidate chunks of vmapped lanes
+        # (the blocked sweep of SURVEY.md §5.7; pad to a tile multiple)
+        c_total = cand.shape[0]
+        pad = (-c_total) % tile
+
+        def padded(x, fill=0):
+            widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, widths, constant_values=fill)
+
+        chunks = lambda x: x.reshape((-1, tile) + x.shape[1:])
+        evals = jax.lax.map(
+            lambda args: eval_tile(*args),
+            (
+                chunks(padded(ii)), chunks(padded(jj)),
+                chunks(padded(vals_c)), chunks(padded(keys)),
+            ),
+        ).reshape(c_total + pad, n_vals)[:c_total]
+    else:
+        evals = eval_tile(ii, jj, vals_c, keys)  # (C, V)
 
     scores = jnp.sum(evals * w_c, axis=-1)
     return jnp.where(problem.queryable[ii, jj], scores, jnp.nan)

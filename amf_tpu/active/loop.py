@@ -55,6 +55,7 @@ def run_active_pmf(
     model: str = "vn",  # 'vn' (ActivePMF) | 'mn' (MNActivePMF)
     pcfg: Optional[pmf.PMFConfig] = None,
     lookahead_budget: int = 300,
+    lookahead_tile: int = 0,
     dtype=jnp.float64,
     verbose: bool = False,
     checkpoint_path: Optional[str] = None,
@@ -95,6 +96,7 @@ def run_active_pmf(
         discretize=discretize,
         pmf_refit_steps=lookahead_budget,
         approx_refit_steps=lookahead_budget,
+        candidate_tile=lookahead_tile,
     )
 
     # ---- initial fit, shared by all criteria (reference: :1043-1055)
