@@ -56,6 +56,7 @@ def run_active_pmf(
     pcfg: Optional[pmf.PMFConfig] = None,
     lookahead_budget: int = 300,
     lookahead_tile: int = 0,
+    mesh=None,  # jax.sharding.Mesh: shard lookahead candidates over devices
     dtype=jnp.float64,
     verbose: bool = False,
     checkpoint_path: Optional[str] = None,
@@ -156,6 +157,23 @@ def run_active_pmf(
                     amv = adapter.pred_mean_var(ast, prob) if _crit.needs_approx else None
                     ev = criteria_mod.direct_scores(_crit, pst.U @ pst.V.T, amv, k)
                     return jnp.where(prob.queryable, ev, jnp.nan)
+
+            elif mesh is not None:
+                # shard the candidate axis over the device mesh; states and
+                # the problem are closure-captured (replicated), the argmax
+                # happens back on the host side of the gathered scores
+                from amf_tpu.parallel.sharding import sharded_candidate_scores
+
+                @jax.jit
+                def fn(pst, ast, prob, k, _crit=crit):
+                    def score_flat(cand, kk):
+                        return lookahead_mod.lookahead_scores(
+                            _crit, pst, ast, prob, kk, pcfg, adapter, lcfg,
+                            cand=cand,
+                        )
+
+                    run = sharded_candidate_scores(score_flat, n * m, mesh)
+                    return run(k).reshape(prob.shape)
 
             else:
 

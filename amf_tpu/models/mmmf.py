@@ -128,6 +128,141 @@ def objective(X: jax.Array, Y: jax.Array, C: float) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Ordinal-label MMMF (reference: solveDord.m:1-60)
+
+
+class OrdinalConfig(NamedTuple):
+    C: float = 1.0  # >0: immediate-threshold hinge; use all_thresholds below
+    all_thresholds: bool = False  # reference C<0 mode (loss over all thresholds)
+    per_row_thresh: bool = False  # reference perrowthresh
+    require_thresh_order: bool = True  # reference requirethreshord (isotonic)
+    max_iters: int = 4000
+    lr0: float = 0.5
+
+
+def _isotonic(v: jax.Array) -> jax.Array:
+    """Project onto nondecreasing vectors (pool-adjacent-violators along the
+    last axis; exact for the small threshold counts here)."""
+    R = v.shape[-1]
+
+    def body(_, x):
+        # one PAV-style sweep: average adjacent violating pairs
+        left = x[..., :-1]
+        right = x[..., 1:]
+        viol = left > right
+        avg = (left + right) / 2
+        new_left = jnp.where(viol, avg, left)
+        new_right = jnp.where(viol, avg, right)
+        x = x.at[..., :-1].set(new_left)
+        x = x.at[..., 1:].set(new_right)
+        return x
+
+    return jax.lax.fori_loop(0, R * R, body, v)
+
+
+def ordinal_loss_grads(X, theta, Y_int, observed, R: int, cfg: OrdinalConfig):
+    """(loss, dX, dtheta) for the ordinal hinge losses.
+
+    Immediate-threshold (Shashua–Levin, reference C>0): per observed cell
+    with label r, hinge(1 - (x - theta_{r-1})) + hinge(1 - (theta_r - x)).
+    All-thresholds (reference C<0): sum_k<r hinge(1 - (x - theta_k)) +
+    sum_k>=r hinge(1 - (theta_k - x)).
+    theta: (R-1,) or (n, R-1) (per-row).
+    """
+    n, m = X.shape
+    C = cfg.C
+    nt = R - 1
+    th = theta if theta.ndim == 2 else jnp.broadcast_to(theta[None], (n, nt))
+    k_idx = jnp.arange(nt)
+
+    # masks over thresholds per cell: which side each threshold constrains
+    r = Y_int[..., None]  # (n, m, 1), labels 1..R
+    below = k_idx[None, None, :] < (r - 1)  # thresholds strictly below label
+    above = ~below
+    if not cfg.all_thresholds:
+        below = below & (k_idx[None, None, :] == (r - 2))
+        above = above & (k_idx[None, None, :] == (r - 1))
+
+    diff_low = 1.0 - (X[..., None] - th[:, None, :])  # want x > theta_k + 1
+    diff_up = 1.0 - (th[:, None, :] - X[..., None])  # want x < theta_k - 1
+    obs = observed[..., None]
+    act_low = (diff_low > 0) & below & obs
+    act_up = (diff_up > 0) & above & obs
+
+    loss = C * (
+        jnp.sum(jnp.where(act_low, diff_low, 0.0))
+        + jnp.sum(jnp.where(act_up, diff_up, 0.0))
+    )
+    dX = C * (
+        -jnp.sum(act_low, axis=-1).astype(X.dtype)
+        + jnp.sum(act_up, axis=-1).astype(X.dtype)
+    )
+    dth_rows = C * (
+        jnp.sum(act_low, axis=1).astype(X.dtype)
+        - jnp.sum(act_up, axis=1).astype(X.dtype)
+    )  # (n, R-1)
+    dtheta = dth_rows if cfg.per_row_thresh else jnp.sum(dth_rows, axis=0)
+    return loss, dX, dtheta
+
+
+def solve_ordinal(
+    Y: jax.Array,  # (n, m) integer labels 1..R, 0 = missing
+    R: Optional[int] = None,
+    cfg: OrdinalConfig = OrdinalConfig(),
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Ordinal-label nuclear-norm MMMF (reference: solveDord.m).
+
+    min_{X, theta} ||X||_* + C * ordinal_hinge(X, theta; Y), by proximal
+    subgradient with diminishing steps (SVT prox on X; free thresholds,
+    optionally isotonic-projected) — replaces the reference's per-solve SDP.
+
+    Returns (xy predicted labels, X, theta).
+    """
+    Y = jnp.asarray(Y)
+    n, m = Y.shape
+    if R is None:
+        R = int(jnp.max(Y))
+    observed = Y > 0
+    Y_int = Y.astype(jnp.int32)
+    nt = R - 1
+    theta0 = jnp.arange(1, R, dtype=Y.dtype) + 0.5
+    if cfg.per_row_thresh:
+        theta0 = jnp.broadcast_to(theta0[None], (n, nt)).astype(Y.dtype)
+    X0 = jnp.zeros((n, m), Y.dtype)
+
+    def body(t, carry):
+        X, theta = carry
+        _, dX, dtheta = ordinal_loss_grads(X, theta, Y_int, observed, R, cfg)
+        eta = cfg.lr0 / jnp.sqrt(t + 1.0)
+        X = _svt(X - eta * dX, eta)
+        theta = theta - eta * dtheta
+        if cfg.require_thresh_order:
+            theta = _isotonic(theta)
+        return X, theta
+
+    X, theta = jax.lax.fori_loop(0, cfg.max_iters, body, (X0, theta0))
+    xy = predict_ordinal(X, theta, n)
+    return xy, X, theta
+
+
+def predict_ordinal(X: jax.Array, theta: jax.Array, n: int) -> jax.Array:
+    """Labels from thresholds: xy = 1 + #{k: x > theta_k}
+    (reference: solveDord.m output contract :41-46)."""
+    th = theta if theta.ndim == 2 else jnp.broadcast_to(
+        theta[None], (n, theta.shape[-1])
+    )
+    return 1 + jnp.sum(X[..., None] > th[:, None, :], axis=-1)
+
+
+def ordinal_objective(X, theta, Y, R, cfg: OrdinalConfig):
+    s = jnp.linalg.svd(X, compute_uv=False)
+    loss, _, _ = ordinal_loss_grads(
+        X, theta, Y.astype(jnp.int32), Y > 0, R, cfg
+    )
+    return jnp.sum(s) + loss
+
+
+# ---------------------------------------------------------------------------
 # Selectors (reference: mmmf/select_*.m)
 
 

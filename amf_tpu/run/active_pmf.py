@@ -63,6 +63,11 @@ def build_parser():
     running = parser.add_argument_group("Running")
     running.add_argument("--steps", "-s", type=int, default=None)
     running.add_argument("--seed", type=int, default=0)
+    running.add_argument("--shard-candidates", type=int, default=0,
+                         metavar="N_DEVICES",
+                         help="shard lookahead candidates over an N-device mesh")
+    running.add_argument("--lookahead-tile", type=int, default=0,
+                         help="candidates per vmapped pass (memory bound)")
     running.add_argument("--float32", action="store_true",
                          help="run in float32 (TPU-native dtype)")
     add_bool_opt(running, "verbose", default=True)
@@ -144,6 +149,12 @@ def main(argv=None):
             real, known, dtype=jnp.float32 if args.float32 else jnp.float64
         )
 
+    mesh = None
+    if args.shard_candidates:
+        from amf_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.shard_candidates)
+
     results = loop.run_active_pmf(
         problem, real, key_names,
         latent_d=args.latent_d,
@@ -155,6 +166,8 @@ def main(argv=None):
         seed=args.seed,
         model=args.model,
         lookahead_budget=args.lookahead_budget,
+        lookahead_tile=args.lookahead_tile,
+        mesh=mesh,
         dtype=jnp.float32 if args.float32 else jnp.float64,
         verbose=args.verbose,
         checkpoint_path=args.checkpoint,

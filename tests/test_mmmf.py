@@ -129,3 +129,61 @@ def test_binarize():
     np.testing.assert_array_equal(y, [[-1, 1, 1], [-1, 0, 1]])
     already = np.array([[1.0, -1.0], [0.0, 1.0]])
     np.testing.assert_array_equal(mmmf_loop.binarize(already, None), already)
+
+
+# ---------------------------------------------------------------------------
+# ordinal variant (reference: solveDord.m)
+
+
+def _ordinal_data(rng, n=10, m=8, rank=2, R=4, frac=0.7):
+    u = rng.normal(size=(n, rank))
+    v = rng.normal(size=(m, rank))
+    score = u @ v.T
+    edges = np.quantile(score, np.linspace(0, 1, R + 1)[1:-1])
+    y = 1 + np.searchsorted(edges, score.ravel()).reshape(n, m)
+    obs = rng.random((n, m)) < frac
+    return np.where(obs, y, 0), y
+
+
+def test_ordinal_immediate_threshold(rng):
+    import jax.numpy as jnp
+
+    y_obs, y_full = _ordinal_data(rng)
+    cfg = mmmf.OrdinalConfig(C=2.0, max_iters=3000)
+    xy, X, theta = mmmf.solve_ordinal(jnp.asarray(y_obs, jnp.float64), R=4,
+                                      cfg=cfg)
+    th = np.asarray(theta)
+    assert (np.diff(th) >= -1e-9).all()  # ordered thresholds
+    obs = y_obs > 0
+    train_acc = (np.asarray(xy)[obs] == y_obs[obs]).mean()
+    assert train_acc > 0.8
+    # generalization beats the majority class
+    maj = max((y_full == r).mean() for r in range(1, 5))
+    assert (np.asarray(xy) == y_full).mean() > maj
+
+
+def test_ordinal_all_thresholds_and_per_row(rng):
+    import jax.numpy as jnp
+
+    y_obs, y_full = _ordinal_data(rng, n=8, m=6, R=3)
+    cfg = mmmf.OrdinalConfig(C=2.0, all_thresholds=True, per_row_thresh=True,
+                             max_iters=2500)
+    xy, X, theta = mmmf.solve_ordinal(jnp.asarray(y_obs, jnp.float64), R=3,
+                                      cfg=cfg)
+    assert theta.shape == (8, 2)
+    assert (np.diff(np.asarray(theta), axis=-1) >= -1e-9).all()
+    obs = y_obs > 0
+    assert (np.asarray(xy)[obs] == y_obs[obs]).mean() > 0.75
+
+
+def test_ordinal_objective_decreases(rng):
+    import jax.numpy as jnp
+
+    y_obs, _ = _ordinal_data(rng, n=6, m=6, R=3)
+    Y = jnp.asarray(y_obs, jnp.float64)
+    cfg = mmmf.OrdinalConfig(C=1.0, max_iters=1500)
+    xy, X, theta = mmmf.solve_ordinal(Y, R=3, cfg=cfg)
+    f_end = float(mmmf.ordinal_objective(X, theta, Y, 3, cfg))
+    th0 = jnp.arange(1, 3, dtype=jnp.float64) + 0.5
+    f_start = float(mmmf.ordinal_objective(jnp.zeros_like(Y), th0, Y, 3, cfg))
+    assert f_end < f_start
