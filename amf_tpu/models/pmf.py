@@ -251,6 +251,7 @@ def fit_lookahead_batch(
     max_steps: int,
     use_pallas: bool = True,
     block_rows: int = 256,
+    bf16: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Refit the MAP factors for L hypothesized (i, j, v) ratings at once.
 
@@ -271,7 +272,8 @@ def fit_lookahead_batch(
     kernel = (
         (lambda U, V: pk.pmf_batched_value_grad(
             U, V, problem.R_obs, problem.rated,
-            delta_i, delta_j, delta_v, sigmas, block_rows=block_rows))
+            delta_i, delta_j, delta_v, sigmas, block_rows=block_rows,
+            bf16=bf16))
         if use_pallas
         else (lambda U, V: pk.pmf_batched_value_grad_reference(
             U, V, problem.R_obs, problem.rated, delta_i, delta_j, delta_v,

@@ -106,7 +106,7 @@ def _kernel(
         val_ref[0] = val_ref[0] + val_block
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows",))
+@functools.partial(jax.jit, static_argnames=("block_rows", "bf16"))
 def pmf_batched_value_grad(
     U: jax.Array,  # (L, n, d)
     V: jax.Array,  # (L, m, d)
@@ -117,20 +117,27 @@ def pmf_batched_value_grad(
     delta_v: jax.Array,  # (L,) f32
     sigmas: jax.Array,  # (3,) [sigma_sq, sigma_u_sq, sigma_v_sq]
     block_rows: int = 256,
+    bf16: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Fused per-lane (-log_likelihood, ascent grads) for PMF lookahead.
 
     Returns (neg_ll (L,), grad_U (L, n, d), grad_V (L, m, d)) where neg_ll
     includes the prior terms and grads match models.pmf.gradient on the
     per-lane problem (base problem + hypothesized cell).
+
+    bf16: stream R/mask/U/V through HBM in bfloat16 (halves the bandwidth
+    bill; MXU accumulates in f32). Scoring-grade precision — the accept/
+    reject trajectory can differ from f32 in marginal steps, so f32 is the
+    default for parity runs.
     """
     L, n, d = U.shape
     m = V.shape[1]
     bn = min(block_rows, _round_up(n, 8))
     n_pad = _round_up(n, bn)
 
-    R32 = R.astype(jnp.float32)
-    mask32 = rated.astype(jnp.float32)
+    io_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    R32 = R.astype(io_dtype)
+    mask32 = rated.astype(io_dtype)
     if n_pad != n:
         R32 = jnp.pad(R32, ((0, n_pad - n), (0, 0)))
         mask32 = jnp.pad(mask32, ((0, n_pad - n), (0, 0)))
@@ -169,8 +176,8 @@ def pmf_batched_value_grad(
         sigmas.astype(jnp.float32),
         R32,
         mask32,
-        U.astype(jnp.float32),
-        V.astype(jnp.float32),
+        U.astype(io_dtype),
+        V.astype(io_dtype),
     )
 
     gu = gu[:, :n, :]

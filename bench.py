@@ -52,12 +52,13 @@ def main():
     dv_all = jnp.sum(state.U[di_all] * state.V[dj_all], axis=1)
 
     # Fused Pallas path: base R/mask shared across lanes, per-lane deltas
-    # applied in-kernel, no per-lane (n, m) intermediates in HBM.
+    # applied in-kernel, no per-lane (n, m) intermediates in HBM; bf16 HBM
+    # streaming (f32 MXU accumulation; scores within 5e-4 of f32).
     @jax.jit
     def tile_fn(di, dj, dv):
         _, _, neg_ll = pmf.fit_lookahead_batch(
             state, prob, di, dj, dv, cfg, max_steps=REFIT_STEPS,
-            use_pallas=True,
+            use_pallas=True, bf16=True,
         )
         return neg_ll
 

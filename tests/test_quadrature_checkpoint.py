@@ -1,0 +1,72 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import stats
+
+from amf_tpu.ops import quadrature
+from amf_tpu.types import rating_bounds
+from amf_tpu.utils.checkpoint import LoopCheckpointer
+
+
+def test_discrete_weights_match_scipy():
+    vals = (1.0, 2.0, 3.0, 4.0, 5.0)
+    bounds = rating_bounds(vals)
+    mean = jnp.asarray([2.3, 4.9])
+    std = jnp.asarray([0.7, 1.5])
+    w = np.asarray(quadrature.discrete_weights(mean, std, bounds))
+    for i in range(2):
+        want = np.diff(stats.norm.cdf(bounds, loc=float(mean[i]),
+                                      scale=float(std[i])))
+        np.testing.assert_allclose(w[i], want, rtol=1e-10)
+    np.testing.assert_allclose(w.sum(-1), 1.0, rtol=1e-12)
+
+
+def test_gauss_legendre_expectation():
+    """E[f(X)] over ~N(mu, sigma^2) restricted to +-2 sigma for a polynomial
+    has a closed form; GL nodes must integrate it near-exactly."""
+    mean = jnp.asarray([1.0])
+    std = jnp.asarray([2.0])
+    pts, wts = quadrature.gauss_legendre_nodes(mean, std, n_nodes=32)
+    # integral of x^2 * pdf over [mu-2s, mu+2s]
+    got = float(jnp.sum(pts**2 * wts, -1)[0])
+    xs = np.linspace(1 - 4, 1 + 4, 400001)
+    want = np.trapz(xs**2 * stats.norm.pdf(xs, 1.0, 2.0), xs)
+    assert got == pytest.approx(want, rel=1e-6)
+
+
+def test_simpson_weights_integrate_pdf():
+    vals = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    mean = jnp.asarray([3.0])
+    std = jnp.asarray([1.0])
+    w = np.asarray(quadrature.simpson_weights(mean, std, vals))[0]
+    # integrating f(v)=1 against the pdf over [1, 5] (Simpson over the grid)
+    got = w.sum()
+    want = stats.norm.cdf(5, 3, 1) - stats.norm.cdf(1, 3, 1)
+    # coarse grid (h=1) Simpson on a peaked pdf carries ~1% inherent error
+    assert got == pytest.approx(want, rel=0.02)
+
+
+def test_checkpointer_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from amf_tpu import types
+
+    path = str(tmp_path / "ck.pkl")
+    real = np.arange(16, dtype=float).reshape(4, 4) + 1
+    known = np.eye(4, dtype=bool)
+    prob = types.problem_from_dense(real, known)
+
+    ck = LoopCheckpointer(path, every=1)
+    records = [(4, 1.0, None, None), (5, 0.9, (0, 1), None),
+               (6, 0.8, (2, 3), None)]
+    ck.update("pred-variance", records, force=True)
+
+    ck2 = LoopCheckpointer(path)
+    prob2, recs = ck2.replay("pred-variance", prob, real)
+    assert len(recs) == 3
+    assert bool(prob2.rated[0, 1]) and bool(prob2.rated[2, 3])
+    assert float(prob2.R_obs[0, 1]) == real[0, 1]
+    assert int(prob2.n_rated) == 6
+    # unknown key: fresh start
+    prob3, recs3 = ck2.replay("random", prob, real)
+    assert recs3 == [] and int(prob3.n_rated) == 4
