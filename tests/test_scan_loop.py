@@ -1,0 +1,63 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from amf_tpu import types
+from amf_tpu.active import criteria, lookahead, scan_loop
+from amf_tpu.data import make_fake_data
+from amf_tpu.models import pmf
+
+
+def test_scan_sweep_direct(rng, key):
+    real, known, vals = make_fake_data(
+        num_users=7, num_items=7, rank=2, data_type=5, mask_type="diag", rng=rng
+    )
+    prob = types.problem_from_dense(real, known, dtype=jnp.float64)
+    pcfg = pmf.PMFConfig(latent_d=2)
+    crit = criteria.KEY_FUNCS["pred-variance"]
+    res, pst = jax.jit(
+        lambda p, k: scan_loop.run_active_scan(p, real, crit, 8, k, pcfg)
+    )(prob, key)
+    assert res.rmse.shape == (8,)
+    assert bool(res.valid.all())
+    assert np.isfinite(np.asarray(res.rmse)).all()
+    # picks are unique queryable cells
+    picks = list(zip(np.asarray(res.picks_i), np.asarray(res.picks_j)))
+    assert len(set(picks)) == 8
+    q = np.asarray(prob.queryable)
+    assert all(q[i, j] for i, j in picks)
+    # rmse improves over the sweep
+    errs = np.asarray(res.rmse)
+    assert errs[-1] < errs[0]
+
+
+def test_scan_sweep_exhausts_pool(rng, key):
+    real, known, vals = make_fake_data(
+        num_users=4, num_items=4, rank=1, data_type=5, mask_type="diag", rng=rng
+    )
+    prob = types.problem_from_dense(real, known, dtype=jnp.float64)
+    n_q = int(np.asarray(prob.queryable).sum())
+    pcfg = pmf.PMFConfig(latent_d=1)
+    crit = criteria.KEY_FUNCS["random"]
+    res, _ = scan_loop.run_active_scan(
+        prob, real, crit, n_q + 3, key, pcfg
+    )
+    valid = np.asarray(res.valid)
+    assert valid[:n_q].all() and not valid[n_q:].any()
+
+
+def test_scan_sweep_lookahead(rng, key):
+    real, known, vals = make_fake_data(
+        num_users=5, num_items=5, rank=1, data_type=5, mask_type="diag", rng=rng
+    )
+    prob = types.problem_from_dense(real, known, dtype=jnp.float64)
+    pcfg = pmf.PMFConfig(latent_d=1)
+    lcfg = lookahead.LookaheadConfig(
+        rating_values=tuple(vals), pmf_refit_steps=40, approx_refit_steps=40
+    )
+    crit = criteria.KEY_FUNCS["total-variance"]
+    res, _ = scan_loop.run_active_scan(
+        prob, real, crit, 3, key, pcfg, lcfg=lcfg,
+        refit_budget=100, approx_budget=100,
+    )
+    assert np.isfinite(np.asarray(res.rmse)).all()
