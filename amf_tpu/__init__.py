@@ -33,3 +33,11 @@ Subpackages:
 """
 
 __version__ = "0.1.0"
+
+from amf_tpu.types import (  # noqa: F401,E402
+    Problem,
+    problem_from_dense,
+    problem_from_ratings,
+    rating_bounds,
+    ratings_array,
+)

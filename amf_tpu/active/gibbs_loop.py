@@ -87,6 +87,8 @@ def run_active_gibbs(
     pcfg: Optional[pmf.PMFConfig] = None,
     dtype=jnp.float64,
     verbose: bool = False,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 20,
 ) -> Dict[str, object]:
     """Multi-criterion Gibbs active loop (reference: compare_active :733-825)."""
     for k in key_names:
@@ -108,16 +110,22 @@ def run_active_gibbs(
     real_j = jnp.asarray(real, dtype=dtype)
 
     @jax.jit
+    def sample_only(pst, prob, k):
+        chain = bpmf_gibbs.init_chain(pst)
+        _, stats, _ = bpmf_gibbs.run_chain(
+            k, chain, prob, gcfg, num_samps,
+            cutoffs=_CUTOFFS, value_bounds=bounds,
+        )
+        return stats
+
     def fit_and_sample(prob, k):
+        # do_fit stays un-jitted: the 'mini-valid' fit type draws its
+        # validation subset host-side (models/pmf.py)
         pst = pmf.init_state(
             jax.random.fold_in(k, 1), n, m, pcfg, prob, dtype=dtype
         )
         pst = pmf.do_fit(pst, prob, pcfg, fit_type=fit_type, key=k)
-        chain = bpmf_gibbs.init_chain(pst)
-        _, stats, _ = bpmf_gibbs.run_chain(
-            jax.random.fold_in(k, 2), chain, prob, gcfg, num_samps,
-            cutoffs=_CUTOFFS, value_bounds=bounds,
-        )
+        stats = sample_only(pst, prob, jax.random.fold_in(k, 2))
         return pst, stats
 
     @jax.jit
@@ -164,12 +172,23 @@ def run_active_gibbs(
             raise ValueError(spec.kind)
         return jnp.where(prob.queryable, ev, jnp.nan)
 
+    from amf_tpu.utils.checkpoint import LoopCheckpointer
+
+    ckpt = LoopCheckpointer(checkpoint_path, every=checkpoint_every)
+
     for kname in key_names:
         spec = KEYS[kname]
         prob_k, pst_k, stats_k = problem, pst0, stats0
         kloop = jax.random.fold_in(key, hash(kname) % (2**31))
-        rmse0 = float(metrics.rmse_on(stats_k.mean, real_j, prob_k.test))
-        records: List[tuple] = [(int(prob_k.n_rated), rmse0, None, None)]
+        prob_k, records = ckpt.replay(kname, prob_k, real)
+        if records:
+            kloop, kr = jax.random.split(kloop)
+            pst_k, stats_k = refit_and_sample(pst_k, prob_k, kr)
+            if verbose:
+                print(f"{spec.nice_name}: resumed at step {len(records) - 1}")
+        else:
+            rmse0 = float(metrics.rmse_on(stats_k.mean, real_j, prob_k.test))
+            records = [(int(prob_k.n_rated), rmse0, None, None)]
         max_steps = steps if steps is not None else n * m
 
         while bool(prob_k.queryable.any()) and len(records) < max_steps:
@@ -191,10 +210,12 @@ def run_active_gibbs(
             pst_k, stats_k = refit_and_sample(pst_k, prob_k, ksamp)
             err = float(metrics.rmse_on(stats_k.mean, real_j, prob_k.test))
             records.append((int(prob_k.n_rated), err, (i, j), evals))
+            ckpt.update(kname, records)
             if verbose:
                 print(f"{spec.nice_name:<20} step {len(records)-1}: "
                       f"({i},{j}) rmse {err:.5f}")
 
+        ckpt.update(kname, records, force=True)
         results[kname] = records
 
     return results

@@ -50,6 +50,7 @@ def run_active_stan(
     subtract_mean: bool = True,
     num_samps: int = 100,
     warmup: Optional[int] = None,
+    chains: int = 1,
     lookahead_samps: int = 30,
     lookahead_warmup: int = 15,
     steps: Optional[int] = None,
@@ -59,6 +60,8 @@ def run_active_stan(
     cfg: Optional[bpmf_hmc.HMCConfig] = None,
     dtype=jnp.float64,
     verbose: bool = False,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 20,
 ) -> Dict[str, object]:
     """Multi-criterion NUTS-BPMF active loop (reference: do_work :946-1025).
 
@@ -93,7 +96,9 @@ def run_active_stan(
         U0, V0 = pst.U, pst.V
 
     sample_fn = jax.jit(
-        lambda k, st, prob: bpmf_hmc.samples(k, st, prob, cfg, num_samps, warmup)
+        lambda k, st, prob: bpmf_hmc.samples(
+            k, st, prob, cfg, num_samps, warmup, chains=chains
+        )
     )
     stats_fn = jax.jit(
         lambda samps, mr: sample_stats.prediction_stats(
@@ -150,13 +155,26 @@ def run_active_stan(
             raise ValueError(spec.kind)
         return jnp.where(prob.queryable, ev, jnp.nan)
 
+    from amf_tpu.utils.checkpoint import LoopCheckpointer
+
+    ckpt = LoopCheckpointer(checkpoint_path, every=checkpoint_every)
+
     for kname in key_names:
         spec = KEYS[kname]
         prob_k, st_k, stats_k = problem, st0, stats0
         kloop = jax.random.fold_in(key, hash(kname) % (2**31))
-        records: List[tuple] = [
-            (int(prob_k.n_rated), err_of(stats_k, prob_k), None, None)
-        ]
+        prob_k, records = ckpt.replay(kname, prob_k, real)
+        if records:
+            kloop, kr = jax.random.split(kloop)
+            st_k = bpmf_hmc.invalidate_mode(st_k, prob_k)
+            st_k, samps = sample_fn(kr, st_k, prob_k)
+            stats_k = stats_fn(samps, st_k.mean_rating)
+            if verbose:
+                print(f"{spec.nice_name}: resumed at step {len(records) - 1}")
+        else:
+            records = [
+                (int(prob_k.n_rated), err_of(stats_k, prob_k), None, None)
+            ]
         max_steps = steps if steps is not None else n * m
 
         while bool(prob_k.queryable.any()) and len(records) < max_steps:
@@ -182,10 +200,12 @@ def run_active_stan(
             stats_k = stats_fn(samps, st_k.mean_rating)
             err = err_of(stats_k, prob_k)
             records.append((int(prob_k.n_rated), err, (i, j), evals))
+            ckpt.update(kname, records)
             if verbose:
                 print(f"{spec.nice_name:<20} step {len(records)-1}: "
                       f"({i},{j}) err {err:.5f}")
 
+        ckpt.update(kname, records, force=True)
         results[kname] = records
 
     return results

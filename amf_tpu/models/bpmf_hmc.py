@@ -217,10 +217,16 @@ def samples(
     cfg: HMCConfig,
     num_samps: int,
     warmup: Optional[int] = None,
+    chains: int = 1,
 ) -> Tuple[BPMFState, Dict[str, jax.Array]]:
     """Run NUTS for num_samps draws after warmup (default num_samps // 2,
     stan-bpmf/bpmf.py:310-311), starting at the sampled mode; update the mode
-    from the best-lp draw. Returns (state, {'U','V','lp__'})."""
+    from the best-lp draw. Returns (state, {'U','V','lp__'}).
+
+    chains > 1 vmaps independent chains (num_samps draws each, pooled) — the
+    TPU replacement for the reference's process-parallel Stan chains
+    (stan-bpmf/bpmf.py:314); warmup runs per chain.
+    """
     if warmup is None:
         warmup = num_samps // 2
     n, m = problem.shape
@@ -229,10 +235,22 @@ def samples(
     def logp(q):
         return log_posterior(q, problem, state.mean_rating, cfg, shapes)
 
-    qs, info = nuts.run_nuts(
-        key, state.mode_q, logp, num_samps, warmup,
-        cfg=nuts.NUTSConfig(max_depth=cfg.max_depth),
-    )
+    if chains > 1:
+        keys = jax.random.split(key, chains)
+        qs, info = jax.vmap(
+            lambda k: nuts.run_nuts(
+                k, state.mode_q, logp, num_samps, warmup,
+                cfg=nuts.NUTSConfig(max_depth=cfg.max_depth),
+            )
+        )(keys)
+        qs = qs.reshape(chains * num_samps, -1)
+        info = jax.tree.map(lambda x: x.reshape(chains * num_samps), info)
+        num_samps = chains * num_samps
+    else:
+        qs, info = nuts.run_nuts(
+            key, state.mode_q, logp, num_samps, warmup,
+            cfg=nuts.NUTSConfig(max_depth=cfg.max_depth),
+        )
     lps = info.logprob
     best = jnp.argmax(lps)
     better = lps[best] > state.mode_lp

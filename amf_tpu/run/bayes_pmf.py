@@ -41,6 +41,8 @@ def main(argv=None):
     parser.add_argument("--no-save-results", action="store_false",
                         dest="save_results")
     parser.add_argument("--note", action="append")
+    parser.add_argument("--checkpoint", default=None, metavar="FILE",
+                        help="partial-results checkpoint for exact resume")
     parser.add_argument("keys", nargs="*",
                         help="Choices: {}.".format(", ".join(sorted(KEYS))))
     args = parser.parse_args(argv)
@@ -99,6 +101,7 @@ def main(argv=None):
         steps=args.steps,
         seed=args.seed,
         fit_type=parse_fit_type(args.fit),
+        checkpoint_path=args.checkpoint,
         dtype=dtype,
         verbose=args.verbose,
     )

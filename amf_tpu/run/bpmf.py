@@ -24,6 +24,7 @@ def main(argv=None):
     parser.add_argument("--steps", "-s", type=int, default=None)
     parser.add_argument("--samps", "-S", type=int, default=100)
     parser.add_argument("--warmup", "-W", type=int, default=None)
+    parser.add_argument("--chains", type=int, default=1)
     parser.add_argument("--lookahead-samps", type=int, default=100)
     parser.add_argument("--lookahead-warmup", type=int, default=50)
     parser.add_argument("--subtract-mean", action="store_true", default=True)
@@ -45,6 +46,8 @@ def main(argv=None):
     parser.add_argument("--no-save-results", action="store_false",
                         dest="save_results")
     parser.add_argument("--note", action="append")
+    parser.add_argument("--checkpoint", default=None, metavar="FILE",
+                        help="partial-results checkpoint for exact resume")
     parser.add_argument("keys", nargs="*",
                         help="Choices: {}.".format(", ".join(sorted(KEYS))))
     args = parser.parse_args(argv)
@@ -98,11 +101,13 @@ def main(argv=None):
         subtract_mean=args.subtract_mean,
         num_samps=args.samps,
         warmup=args.warmup,
+        chains=args.chains,
         lookahead_samps=args.lookahead_samps,
         lookahead_warmup=args.lookahead_warmup,
         steps=args.steps,
         seed=args.seed,
         model_init_map=args.model_init,
+        checkpoint_path=args.checkpoint,
         binary_acc=binary_acc,
         dtype=dtype,
         verbose=args.verbose,
