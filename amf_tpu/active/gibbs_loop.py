@@ -17,6 +17,7 @@ import numpy as np
 from amf_tpu.analysis import metrics
 from amf_tpu.models import bpmf_gibbs, pmf
 from amf_tpu.types import Problem, rating_bounds, ratings_array
+from amf_tpu.utils.rng import fold_in_name
 
 
 class GibbsKey(NamedTuple):
@@ -172,24 +173,29 @@ def run_active_gibbs(
             raise ValueError(spec.kind)
         return jnp.where(prob.queryable, ev, jnp.nan)
 
-    from amf_tpu.utils.checkpoint import LoopCheckpointer
+    from amf_tpu.utils.checkpoint import LoopCheckpointer, problem_fingerprint
 
-    ckpt = LoopCheckpointer(checkpoint_path, every=checkpoint_every)
+    ckpt = LoopCheckpointer(
+        checkpoint_path, every=checkpoint_every,
+        fingerprint=problem_fingerprint(real, int(problem.n_rated)),
+    )
 
     for kname in key_names:
         spec = KEYS[kname]
         prob_k, pst_k, stats_k = problem, pst0, stats0
-        kloop = jax.random.fold_in(key, hash(kname) % (2**31))
+        kloop = fold_in_name(key, kname)
         prob_k, records = ckpt.replay(kname, prob_k, real)
+        max_steps = steps if steps is not None else n * m
+        will_run = bool(prob_k.queryable.any()) and len(records) < max_steps
         if records:
-            kloop, kr = jax.random.split(kloop)
-            pst_k, stats_k = refit_and_sample(pst_k, prob_k, kr)
+            if will_run:  # skip the refit when the criterion already finished
+                kloop, kr = jax.random.split(kloop)
+                pst_k, stats_k = refit_and_sample(pst_k, prob_k, kr)
             if verbose:
                 print(f"{spec.nice_name}: resumed at step {len(records) - 1}")
         else:
             rmse0 = float(metrics.rmse_on(stats_k.mean, real_j, prob_k.test))
             records = [(int(prob_k.n_rated), rmse0, None, None)]
-        max_steps = steps if steps is not None else n * m
 
         while bool(prob_k.queryable.any()) and len(records) < max_steps:
             kloop, kev, ksamp = jax.random.split(kloop, 3)

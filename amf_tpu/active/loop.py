@@ -26,6 +26,7 @@ from amf_tpu.active import lookahead as lookahead_mod
 from amf_tpu.analysis import metrics
 from amf_tpu.models import mnormal, pmf, vnormal
 from amf_tpu.types import Problem, ratings_array
+from amf_tpu.utils.rng import fold_in_name
 
 
 def _pick(evals: jax.Array, queryable: jax.Array, maximize: bool):
@@ -187,9 +188,12 @@ def run_active_pmf(
             score_fns[crit.name] = fn
         return score_fns[crit.name]
 
-    from amf_tpu.utils.checkpoint import LoopCheckpointer
+    from amf_tpu.utils.checkpoint import LoopCheckpointer, problem_fingerprint
 
-    ckpt = LoopCheckpointer(checkpoint_path, every=checkpoint_every)
+    ckpt = LoopCheckpointer(
+        checkpoint_path, every=checkpoint_every,
+        fingerprint=problem_fingerprint(real, int(problem.n_rated)),
+    )
 
     # ---- per-criterion loops (reference: full_test :796-850)
     for key_name in key_names:
@@ -197,14 +201,17 @@ def run_active_pmf(
         score_fn = get_score_fn(crit)
         prob_k = problem
         pst_k, ast_k = pst, ast
-        kloop = jax.random.fold_in(key, hash(key_name) % (2**31))
+        kloop = fold_in_name(key, key_name)
 
         # resume from a partial checkpoint by replaying recorded picks
         # (reference analogue: partial_results saving, SURVEY.md §5.4)
         prob_k, records = ckpt.replay(key_name, prob_k, real)
+        max_steps = steps if steps is not None else n * m
+        will_run = bool(prob_k.queryable.any()) and len(records) < max_steps
         if records:
-            kloop, krefit = jax.random.split(kloop)
-            pst_k, ast_k = refit(pst_k, ast_k, prob_k, krefit)
+            if will_run:  # skip the refit when the criterion already finished
+                kloop, krefit = jax.random.split(kloop)
+                pst_k, ast_k = refit(pst_k, ast_k, prob_k, krefit)
             if verbose:
                 print(f"{crit.nice_name}: resumed at step {len(records) - 1}")
         else:
@@ -212,7 +219,6 @@ def run_active_pmf(
             records = [(int(prob_k.n_rated), rmse0, None, None)]
         t0 = time.time()
 
-        max_steps = steps if steps is not None else n * m
         while bool(prob_k.queryable.any()) and len(records) < max_steps:
             kloop, kscore, krefit = jax.random.split(kloop, 3)
             if int(prob_k.queryable.sum()) == 1:

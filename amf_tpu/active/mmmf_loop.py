@@ -17,6 +17,7 @@ import numpy as np
 
 from amf_tpu.models import mmmf
 from amf_tpu.types import Problem
+from amf_tpu.utils.rng import fold_in_name
 
 
 def binarize(real: np.ndarray, cutoff: Optional[float]) -> np.ndarray:
@@ -75,7 +76,7 @@ def run_active_mmmf(
     for kname in key_names:
         prob_k = problem
         st_k = st0
-        kloop = jax.random.fold_in(key, hash(kname) % (2**31))
+        kloop = fold_in_name(key, kname)
         records: List[tuple] = [
             (
                 int(prob_k.n_rated),

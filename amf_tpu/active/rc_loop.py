@@ -16,6 +16,7 @@ import numpy as np
 
 from amf_tpu.models import ratingconc as rc
 from amf_tpu.types import Problem
+from amf_tpu.utils.rng import fold_in_name
 
 
 def run_active_rc(
@@ -78,7 +79,7 @@ def run_active_rc(
     for kname in key_names:
         nice, cutoff = rc.RC_KEYS[kname]
         prob_k, x_k, data_k = problem, x0, data0
-        kloop = jax.random.fold_in(key, hash(kname) % (2**31))
+        kloop = fold_in_name(key, kname)
         records: List[tuple] = [
             (int(prob_k.n_rated), float(rmse_of(x_k, data_k, prob_k)), None, None)
         ]

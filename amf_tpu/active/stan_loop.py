@@ -17,6 +17,7 @@ import numpy as np
 from amf_tpu.analysis import metrics
 from amf_tpu.models import bpmf_hmc, pmf, sample_stats
 from amf_tpu.types import Problem, rating_bounds, ratings_array
+from amf_tpu.utils.rng import fold_in_name
 
 
 class StanKey(NamedTuple):
@@ -155,27 +156,32 @@ def run_active_stan(
             raise ValueError(spec.kind)
         return jnp.where(prob.queryable, ev, jnp.nan)
 
-    from amf_tpu.utils.checkpoint import LoopCheckpointer
+    from amf_tpu.utils.checkpoint import LoopCheckpointer, problem_fingerprint
 
-    ckpt = LoopCheckpointer(checkpoint_path, every=checkpoint_every)
+    ckpt = LoopCheckpointer(
+        checkpoint_path, every=checkpoint_every,
+        fingerprint=problem_fingerprint(real, int(problem.n_rated)),
+    )
 
     for kname in key_names:
         spec = KEYS[kname]
         prob_k, st_k, stats_k = problem, st0, stats0
-        kloop = jax.random.fold_in(key, hash(kname) % (2**31))
+        kloop = fold_in_name(key, kname)
         prob_k, records = ckpt.replay(kname, prob_k, real)
+        max_steps = steps if steps is not None else n * m
+        will_run = bool(prob_k.queryable.any()) and len(records) < max_steps
         if records:
-            kloop, kr = jax.random.split(kloop)
-            st_k = bpmf_hmc.invalidate_mode(st_k, prob_k)
-            st_k, samps = sample_fn(kr, st_k, prob_k)
-            stats_k = stats_fn(samps, st_k.mean_rating)
+            if will_run:  # skip the refit when the criterion already finished
+                kloop, kr = jax.random.split(kloop)
+                st_k = bpmf_hmc.invalidate_mode(st_k, prob_k)
+                st_k, samps = sample_fn(kr, st_k, prob_k)
+                stats_k = stats_fn(samps, st_k.mean_rating)
             if verbose:
                 print(f"{spec.nice_name}: resumed at step {len(records) - 1}")
         else:
             records = [
                 (int(prob_k.n_rated), err_of(stats_k, prob_k), None, None)
             ]
-        max_steps = steps if steps is not None else n * m
 
         while bool(prob_k.queryable.any()) and len(records) < max_steps:
             kloop, kev, ksamp = jax.random.split(kloop, 3)

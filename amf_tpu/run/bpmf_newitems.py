@@ -61,6 +61,7 @@ def main(argv=None):
     from amf_tpu.data.loaders import load_npz_schema
     from amf_tpu.models import bpmf_hmc, newitems, sample_stats
     from amf_tpu.types import rating_bounds, ratings_array
+    from amf_tpu.utils.rng import fold_in_name
 
     if args.save_results is True:
         args.save_results = "results.pkl"
@@ -145,7 +146,7 @@ def main(argv=None):
 
     for kname in key_names:
         prob_k, st_k, stats_k = prob_new0, st0, stats0
-        kloop = jax.random.fold_in(key, hash(kname) % (2**31))
+        kloop = fold_in_name(key, kname)
         err0 = float(metrics.rmse_on(stats_k.mean, real_j, prob_k.test))
         records = [(int(prob_k.n_rated), err0, None, None)]
         max_steps = args.steps if args.steps is not None else n * m_new

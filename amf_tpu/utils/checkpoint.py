@@ -3,51 +3,97 @@
 Reference analogues (SURVEY.md §5.4): MMMF saves partial_results.mat every 20
 steps mid-run (mmmf/evaluate_active.m:84-86); Makefile targets skip existing
 results; warm-start state carries across steps. Here a single partial-pickle
-per run holds, per criterion, the records list and the query trace — enough
-to replay the problem state exactly (selections are deterministic replays of
-recorded picks, so resume is exact regardless of RNG).
+per run holds, per criterion, a slim record trace — enough to replay the
+problem state exactly (selections are deterministic replays of recorded
+picks). A fingerprint of the problem guards against resuming with the wrong
+dataset/config; per-step eval matrices are NOT persisted (replay only needs
+the picks, and eval grids would make checkpoint I/O grow with n*m per step).
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 import pickle
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def problem_fingerprint(real, n_initial_rated: int) -> str:
+    """Stable identity of (dataset, initial known count) for resume safety."""
+    real = np.ascontiguousarray(np.asarray(real, dtype=np.float64))
+    h = hashlib.sha256(real.tobytes())
+    h.update(str(real.shape).encode())
+    h.update(str(int(n_initial_rated)).encode())
+    return h.hexdigest()[:16]
+
+
+def _slim(records: List[tuple]) -> List[tuple]:
+    """Drop per-step eval matrices; keep (n_rated, err, ij, None, ...)."""
+    out = []
+    for rec in records:
+        rec = list(rec)
+        if len(rec) > 3:
+            rec[3] = None
+        out.append(tuple(rec))
+    return out
 
 
 class LoopCheckpointer:
-    """Periodically persists per-criterion records; supports exact resume by
-    replaying recorded picks into the problem state."""
+    """Periodically persists per-criterion pick traces; supports exact resume
+    by replaying recorded picks into the problem state.
 
-    def __init__(self, path: Optional[str], every: int = 20):
+    Note: resumed criteria lose the eval matrices of already-replayed steps
+    (the trace is intentionally slim); fresh steps record them as usual.
+    """
+
+    def __init__(self, path: Optional[str], every: int = 20,
+                 fingerprint: Optional[str] = None):
         self.path = path
         self.every = max(every, 1)
-        self._state: Dict[str, List[tuple]] = {}
+        self.fingerprint = fingerprint
+        self._state: Dict[str, object] = {}
         if path and os.path.exists(path):
             with open(path, "rb") as f:
                 self._state = pickle.load(f)
+            stored = self._state.get("_fingerprint")
+            if fingerprint is not None and stored is not None \
+                    and stored != fingerprint:
+                raise ValueError(
+                    f"checkpoint {path} was written for a different problem "
+                    f"(fingerprint {stored} != {fingerprint}); refusing to "
+                    "resume — delete the file or pass the matching data"
+                )
 
     def completed_records(self, key: str) -> Optional[List[tuple]]:
         """Records saved for a criterion in a previous run (or None)."""
-        return self._state.get(key)
+        recs = self._state.get(key)
+        return recs if isinstance(recs, list) else None
 
     def replay(self, key: str, problem, real):
         """Re-apply recorded picks to a fresh problem; returns
         (problem, records) positioned exactly where the previous run stopped.
         """
-        records = list(self._state.get(key) or [])
+        records = list(self.completed_records(key) or [])
         for rec in records:
             ij = rec[2]
             if ij is not None:
-                problem = problem.add_rating(
-                    int(ij[0]), int(ij[1]), float(real[ij[0], ij[1]])
-                )
+                i, j = int(ij[0]), int(ij[1])
+                if not (0 <= i < problem.shape[0] and 0 <= j < problem.shape[1]):
+                    raise ValueError(
+                        f"checkpoint pick {ij} out of bounds for problem "
+                        f"{problem.shape} — wrong checkpoint file?"
+                    )
+                problem = problem.add_rating(i, j, float(real[i, j]))
         return problem, records
 
     def update(self, key: str, records: List[tuple], force: bool = False):
         if not self.path:
             return
-        self._state[key] = records
+        self._state[key] = _slim(records)
+        if self.fingerprint is not None:
+            self._state["_fingerprint"] = self.fingerprint
         n_steps = len(records) - 1
         if force or (n_steps % self.every == 0):
             tmp = self.path + ".tmp"

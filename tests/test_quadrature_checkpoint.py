@@ -70,3 +70,54 @@ def test_checkpointer_roundtrip(tmp_path):
     # unknown key: fresh start
     prob3, recs3 = ck2.replay("random", prob, real)
     assert recs3 == [] and int(prob3.n_rated) == 4
+
+
+def test_fold_in_name_stable():
+    """Criterion key streams must not depend on Python's salted str hash
+    (reproducibility across processes; checkpoint resume determinism)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax; from amf_tpu.utils.rng import fold_in_name; "
+        "print(jax.random.key_data(fold_in_name(jax.random.PRNGKey(0), "
+        "'pred-variance')).tolist())"
+    )
+    outs = {
+        subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True,
+            env={"PYTHONHASHSEED": str(s), "PATH": "/usr/bin:/bin",
+                 "JAX_PLATFORMS": "cpu", "PYTHONPATH": "/root/repo"},
+        ).stdout.strip()
+        for s in (1, 2)
+    }
+    assert len(outs) == 1 and "" not in outs
+
+
+def test_checkpoint_fingerprint_guard(tmp_path):
+    from amf_tpu.utils.checkpoint import LoopCheckpointer, problem_fingerprint
+
+    real_a = np.arange(16, dtype=float).reshape(4, 4) + 1
+    real_b = real_a + 1.0
+    path = str(tmp_path / "fp.pkl")
+    fa = problem_fingerprint(real_a, 4)
+    ck = LoopCheckpointer(path, fingerprint=fa)
+    ck.update("random", [(4, 1.0, None, None)], force=True)
+    # same problem: loads fine
+    LoopCheckpointer(path, fingerprint=fa)
+    # different problem: refuses
+    with pytest.raises(ValueError, match="different problem"):
+        LoopCheckpointer(path, fingerprint=problem_fingerprint(real_b, 4))
+
+
+def test_checkpoint_strips_eval_matrices(tmp_path):
+    from amf_tpu.utils.checkpoint import LoopCheckpointer
+
+    path = str(tmp_path / "slim.pkl")
+    ck = LoopCheckpointer(path, every=1)
+    big = np.ones((50, 50))
+    ck.update("k", [(4, 1.0, None, None), (5, 0.9, (0, 1), big)], force=True)
+    ck2 = LoopCheckpointer(path)
+    recs = ck2.completed_records("k")
+    assert recs[1][3] is None  # eval grid not persisted
