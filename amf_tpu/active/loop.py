@@ -188,11 +188,10 @@ def run_active_pmf(
             score_fns[crit.name] = fn
         return score_fns[crit.name]
 
-    from amf_tpu.utils.checkpoint import LoopCheckpointer, problem_fingerprint
+    from amf_tpu.utils.checkpoint import LoopCheckpointer
 
-    ckpt = LoopCheckpointer(
-        checkpoint_path, every=checkpoint_every,
-        fingerprint=problem_fingerprint(real, int(problem.n_rated)),
+    ckpt = LoopCheckpointer.for_problem(
+        checkpoint_path, problem, real, every=checkpoint_every
     )
 
     # ---- per-criterion loops (reference: full_test :796-850)
@@ -205,12 +204,13 @@ def run_active_pmf(
 
         # resume from a partial checkpoint by replaying recorded picks
         # (reference analogue: partial_results saving, SURVEY.md §5.4)
-        prob_k, records = ckpt.replay(key_name, prob_k, real)
         max_steps = steps if steps is not None else n * m
-        will_run = bool(prob_k.queryable.any()) and len(records) < max_steps
+        prob_k, records, will_run = ckpt.resume(key_name, prob_k, real, max_steps)
         if records:
+            # per-step keys derive from the step index (below), so resumed
+            # runs continue the exact key sequence; only the refit needs one
             if will_run:  # skip the refit when the criterion already finished
-                kloop, krefit = jax.random.split(kloop)
+                krefit = jax.random.fold_in(kloop, 2**20 + len(records))
                 pst_k, ast_k = refit(pst_k, ast_k, prob_k, krefit)
             if verbose:
                 print(f"{crit.nice_name}: resumed at step {len(records) - 1}")
@@ -220,7 +220,11 @@ def run_active_pmf(
         t0 = time.time()
 
         while bool(prob_k.queryable.any()) and len(records) < max_steps:
-            kloop, kscore, krefit = jax.random.split(kloop, 3)
+            # step-indexed keys: resume at step k reproduces the key stream
+            # the uninterrupted run would have used (no split-chain prefix
+            # reuse across resumes)
+            kstep = jax.random.fold_in(kloop, len(records))
+            kscore, krefit = jax.random.split(kstep)
             if int(prob_k.queryable.sum()) == 1:
                 ii, jj = np.nonzero(np.asarray(prob_k.queryable))
                 i, j = int(ii[0]), int(jj[0])

@@ -156,23 +156,21 @@ def run_active_stan(
             raise ValueError(spec.kind)
         return jnp.where(prob.queryable, ev, jnp.nan)
 
-    from amf_tpu.utils.checkpoint import LoopCheckpointer, problem_fingerprint
+    from amf_tpu.utils.checkpoint import LoopCheckpointer
 
-    ckpt = LoopCheckpointer(
-        checkpoint_path, every=checkpoint_every,
-        fingerprint=problem_fingerprint(real, int(problem.n_rated)),
+    ckpt = LoopCheckpointer.for_problem(
+        checkpoint_path, problem, real, every=checkpoint_every
     )
 
     for kname in key_names:
         spec = KEYS[kname]
         prob_k, st_k, stats_k = problem, st0, stats0
         kloop = fold_in_name(key, kname)
-        prob_k, records = ckpt.replay(kname, prob_k, real)
         max_steps = steps if steps is not None else n * m
-        will_run = bool(prob_k.queryable.any()) and len(records) < max_steps
+        prob_k, records, will_run = ckpt.resume(kname, prob_k, real, max_steps)
         if records:
             if will_run:  # skip the refit when the criterion already finished
-                kloop, kr = jax.random.split(kloop)
+                kr = jax.random.fold_in(kloop, 2**20 + len(records))
                 st_k = bpmf_hmc.invalidate_mode(st_k, prob_k)
                 st_k, samps = sample_fn(kr, st_k, prob_k)
                 stats_k = stats_fn(samps, st_k.mean_rating)
@@ -184,7 +182,9 @@ def run_active_stan(
             ]
 
         while bool(prob_k.queryable.any()) and len(records) < max_steps:
-            kloop, kev, ksamp = jax.random.split(kloop, 3)
+            # step-indexed keys (see loop.py): resume-safe stream
+            kstep = jax.random.fold_in(kloop, len(records))
+            kev, ksamp = jax.random.split(kstep)
             if int(prob_k.queryable.sum()) == 1:
                 ii, jj = np.nonzero(np.asarray(prob_k.queryable))
                 i, j = int(ii[0]), int(jj[0])

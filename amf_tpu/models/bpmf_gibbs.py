@@ -140,8 +140,13 @@ def _sample_rows(
     (reference: bayes_pmf.sample_feature :189-216, one row at a time).
     """
     maskf = mask.astype(other.dtype)
-    # (rows, d, d): the masked Gram accumulation — MXU-friendly
-    S = alpha[None] + beta * jnp.einsum("ij,jk,jl->ikl", maskf, other, other)
+    d = other.shape[1]
+    # masked Gram for all rows at once, shaped as ONE large-K matmul:
+    # S_i = sum_j mask_ij v_j v_j^T  ==  (mask @ vv) with vv_j = vec(v_j v_j^T).
+    # (a direct einsum('ij,jk,jl->ikl') lowers to an (n, m, d, d)-ish
+    # contraction with poor MXU tiling; this form is (n, m) @ (m, d^2))
+    vv = (other[:, :, None] * other[:, None, :]).reshape(-1, d * d)
+    S = alpha[None] + beta * (maskf @ vv).reshape(-1, d, d)
     rhs = beta * ((maskf * ratings_c) @ other) + (alpha @ mu)[None, :]
 
     L = jnp.linalg.cholesky(S)  # batched

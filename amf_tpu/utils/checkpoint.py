@@ -5,9 +5,10 @@ steps mid-run (mmmf/evaluate_active.m:84-86); Makefile targets skip existing
 results; warm-start state carries across steps. Here a single partial-pickle
 per run holds, per criterion, a slim record trace — enough to replay the
 problem state exactly (selections are deterministic replays of recorded
-picks). A fingerprint of the problem guards against resuming with the wrong
-dataset/config; per-step eval matrices are NOT persisted (replay only needs
-the picks, and eval grids would make checkpoint I/O grow with n*m per step).
+picks). A fingerprint of the problem (data + initial rated/test masks)
+guards against resuming with the wrong dataset/split; per-step eval matrices
+are NOT persisted (replay only needs the picks, and eval grids would make
+checkpoint I/O grow with n*m per step).
 """
 
 from __future__ import annotations
@@ -15,17 +16,19 @@ from __future__ import annotations
 import hashlib
 import os
 import pickle
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 
-def problem_fingerprint(real, n_initial_rated: int) -> str:
-    """Stable identity of (dataset, initial known count) for resume safety."""
-    real = np.ascontiguousarray(np.asarray(real, dtype=np.float64))
-    h = hashlib.sha256(real.tobytes())
-    h.update(str(real.shape).encode())
-    h.update(str(int(n_initial_rated)).encode())
+def problem_fingerprint(real, rated_mask, test_mask) -> str:
+    """Stable identity of (dataset, initial known cells, test split)."""
+    h = hashlib.sha256()
+    for arr, dt in ((real, np.float64), (rated_mask, np.uint8),
+                    (test_mask, np.uint8)):
+        a = np.ascontiguousarray(np.asarray(arr).astype(dt))
+        h.update(a.tobytes())
+        h.update(str(a.shape).encode())
     return h.hexdigest()[:16]
 
 
@@ -66,16 +69,32 @@ class LoopCheckpointer:
                     "resume — delete the file or pass the matching data"
                 )
 
+    @classmethod
+    def for_problem(cls, path: Optional[str], problem, real,
+                    every: int = 20) -> "LoopCheckpointer":
+        """Build a checkpointer keyed to a Problem; the fingerprint is only
+        computed when a path is given (it hashes the full matrix)."""
+        fp = None
+        if path:
+            fp = problem_fingerprint(real, problem.rated, problem.test)
+        return cls(path, every=every, fingerprint=fp)
+
     def completed_records(self, key: str) -> Optional[List[tuple]]:
         """Records saved for a criterion in a previous run (or None)."""
         recs = self._state.get(key)
         return recs if isinstance(recs, list) else None
 
-    def replay(self, key: str, problem, real):
+    def replay(self, key: str, problem, real,
+               max_records: Optional[int] = None):
         """Re-apply recorded picks to a fresh problem; returns
         (problem, records) positioned exactly where the previous run stopped.
+
+        max_records truncates the replay so a resume requesting FEWER steps
+        than the checkpoint holds yields exactly the requested budget.
         """
         records = list(self.completed_records(key) or [])
+        if max_records is not None:
+            records = records[:max_records]
         for rec in records:
             ij = rec[2]
             if ij is not None:
@@ -87,6 +106,20 @@ class LoopCheckpointer:
                     )
                 problem = problem.add_rating(i, j, float(real[i, j]))
         return problem, records
+
+    def resume(self, key: str, problem, real, max_steps: int
+               ) -> Tuple[object, List[tuple], bool]:
+        """Shared resume logic for the loops: replay (truncated to the
+        requested budget) and report whether the criterion still has work.
+        Returns (problem, records, will_run)."""
+        problem, records = self.replay(key, problem, real,
+                                       max_records=max_steps)
+        import numpy as _np
+
+        will_run = bool(_np.asarray(problem.queryable).any()) and (
+            len(records) == 0 or len(records) < max_steps
+        )
+        return problem, records, will_run
 
     def update(self, key: str, records: List[tuple], force: bool = False):
         if not self.path:

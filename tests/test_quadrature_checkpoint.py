@@ -78,8 +78,12 @@ def test_fold_in_name_stable():
     import subprocess
     import sys
 
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     code = (
-        "import jax; from amf_tpu.utils.rng import fold_in_name; "
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "from amf_tpu.utils.rng import fold_in_name; "
         "print(jax.random.key_data(fold_in_name(jax.random.PRNGKey(0), "
         "'pred-variance')).tolist())"
     )
@@ -88,7 +92,7 @@ def test_fold_in_name_stable():
             [sys.executable, "-c", code],
             capture_output=True, text=True,
             env={"PYTHONHASHSEED": str(s), "PATH": "/usr/bin:/bin",
-                 "JAX_PLATFORMS": "cpu", "PYTHONPATH": "/root/repo"},
+                 "PYTHONPATH": repo_root},
         ).stdout.strip()
         for s in (1, 2)
     }
@@ -99,16 +103,25 @@ def test_checkpoint_fingerprint_guard(tmp_path):
     from amf_tpu.utils.checkpoint import LoopCheckpointer, problem_fingerprint
 
     real_a = np.arange(16, dtype=float).reshape(4, 4) + 1
-    real_b = real_a + 1.0
+    rated = np.eye(4, dtype=bool)
+    test = ~rated
     path = str(tmp_path / "fp.pkl")
-    fa = problem_fingerprint(real_a, 4)
+    fa = problem_fingerprint(real_a, rated, test)
     ck = LoopCheckpointer(path, fingerprint=fa)
     ck.update("random", [(4, 1.0, None, None)], force=True)
     # same problem: loads fine
     LoopCheckpointer(path, fingerprint=fa)
-    # different problem: refuses
+    # different data: refuses
     with pytest.raises(ValueError, match="different problem"):
-        LoopCheckpointer(path, fingerprint=problem_fingerprint(real_b, 4))
+        LoopCheckpointer(
+            path, fingerprint=problem_fingerprint(real_a + 1.0, rated, test)
+        )
+    # same data, different test split: also refuses (split contamination)
+    other_test = np.roll(test, 1, axis=0)
+    with pytest.raises(ValueError, match="different problem"):
+        LoopCheckpointer(
+            path, fingerprint=problem_fingerprint(real_a, rated, other_test)
+        )
 
 
 def test_checkpoint_strips_eval_matrices(tmp_path):
@@ -121,3 +134,58 @@ def test_checkpoint_strips_eval_matrices(tmp_path):
     ck2 = LoopCheckpointer(path)
     recs = ck2.completed_records("k")
     assert recs[1][3] is None  # eval grid not persisted
+
+
+def test_resume_continues_exact_key_stream(tmp_path, rng):
+    """Picks after a resume must equal the uninterrupted run's picks
+    (step-indexed PRNG streams; no split-chain prefix reuse)."""
+    import jax.numpy as jnp
+
+    from amf_tpu import types
+    from amf_tpu.active import loop
+    from amf_tpu.data import make_fake_data
+
+    real, known, vals = make_fake_data(
+        num_users=6, num_items=6, rank=2, data_type=5, mask_type="diag", rng=rng
+    )
+    prob = types.problem_from_dense(real, known, dtype=jnp.float64)
+
+    full = loop.run_active_pmf(
+        prob, real, ["random"], latent_d=2, rating_values=vals,
+        steps=5, seed=0,
+    )["random"]
+
+    ck = str(tmp_path / "resume.pkl")
+    loop.run_active_pmf(
+        prob, real, ["random"], latent_d=2, rating_values=vals,
+        steps=3, seed=0, checkpoint_path=ck,
+    )
+    resumed = loop.run_active_pmf(
+        prob, real, ["random"], latent_d=2, rating_values=vals,
+        steps=5, seed=0, checkpoint_path=ck,
+    )["random"]
+
+    assert [r[2] for r in resumed] == [r[2] for r in full]
+
+
+def test_resume_truncates_to_requested_steps(tmp_path, rng):
+    import jax.numpy as jnp
+
+    from amf_tpu import types
+    from amf_tpu.active import loop
+    from amf_tpu.data import make_fake_data
+
+    real, known, vals = make_fake_data(
+        num_users=6, num_items=6, rank=2, data_type=5, mask_type="diag", rng=rng
+    )
+    prob = types.problem_from_dense(real, known, dtype=jnp.float64)
+    ck = str(tmp_path / "trunc.pkl")
+    loop.run_active_pmf(
+        prob, real, ["random"], latent_d=2, rating_values=vals,
+        steps=5, seed=0, checkpoint_path=ck,
+    )
+    small = loop.run_active_pmf(
+        prob, real, ["random"], latent_d=2, rating_values=vals,
+        steps=2, seed=0, checkpoint_path=ck,
+    )["random"]
+    assert len(small) == 2
