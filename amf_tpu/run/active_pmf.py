@@ -63,6 +63,10 @@ def build_parser():
     running = parser.add_argument_group("Running")
     running.add_argument("--steps", "-s", type=int, default=None)
     running.add_argument("--seed", type=int, default=0)
+    running.add_argument("--scan", action="store_true", default=False,
+                         help="compile the whole sweep into one device "
+                              "program (fast path; per-step eval matrices "
+                              "are not recorded)")
     running.add_argument("--shard-candidates", type=int, default=0,
                          metavar="N_DEVICES",
                          help="shard lookahead candidates over an N-device mesh")
@@ -148,6 +152,60 @@ def main(argv=None):
         problem = types.problem_from_dense(
             real, known, dtype=jnp.float32 if args.float32 else jnp.float64
         )
+
+    if args.scan:
+        # whole-sweep scan fast path (active/scan_loop.py)
+        import jax
+
+        from amf_tpu.active import criteria as criteria_mod
+        from amf_tpu.active import lookahead as lookahead_mod
+        from amf_tpu.active import scan_loop
+        from amf_tpu.models import pmf as pmf_mod
+
+        if args.model != "vn":
+            sys.stderr.write("--scan currently supports --model vn only\n")
+            sys.exit(1)
+        pcfg = pmf_mod.PMFConfig(latent_d=args.latent_d)
+        lcfg = lookahead_mod.LookaheadConfig(
+            rating_values=vals,
+            refit_lookahead=args.refit_lookahead,
+            discretize="sum" if args.discrete_integration else "continuous",
+            pmf_refit_steps=args.lookahead_budget,
+            approx_refit_steps=args.lookahead_budget,
+        )
+        n_q = int(np.asarray(problem.queryable).sum())
+        steps = min(args.steps or n_q, n_q)
+        results = {
+            "_real": np.asarray(real),
+            "_rating_vals": vals or None,
+        }
+        for key_name in key_names:
+            crit = registry[key_name]
+            res, _ = scan_loop.run_active_scan(
+                problem, real, crit, steps,
+                jax.random.PRNGKey(args.seed), pcfg, lcfg=lcfg,
+            )
+            recs = [
+                (int(nr), float(err), (int(i), int(j)), None)
+                for nr, err, i, j, ok in zip(
+                    np.asarray(res.n_rated), np.asarray(res.rmse),
+                    np.asarray(res.picks_i), np.asarray(res.picks_j),
+                    np.asarray(res.valid),
+                )
+                if ok
+            ]
+            results[key_name] = recs
+            if args.verbose:
+                errs = [r[1] for r in recs]
+                print(f"{crit.nice_name}: {len(recs)} steps, rmse "
+                      f"{errs[0]:.4f} -> {errs[-1]:.4f}")
+        if args.save_results:
+            print(f"saving results in '{args.save_results}'")
+            results["_kind"] = "apmf"
+            results["_args"] = vars(args)
+            with open(args.save_results, "wb") as f:
+                pickle.dump(results, f)
+        return
 
     mesh = None
     if args.shard_candidates:
