@@ -173,6 +173,34 @@ def fit(
     return state.replace(U=U, V=V), info
 
 
+def fit_lbfgs(
+    state: PMFState, problem: Problem, cfg: PMFConfig,
+    max_iters: int = 500,
+) -> PMFState:
+    """MAP fit via (unconstrained) L-BFGS — the faster alternative to the
+    reference's adaptive-LR ascent for large problems (SURVEY.md §7 build
+    plan). Same optimum, different trajectory; use fit() for parity runs.
+    """
+    from amf_tpu.ops.lbfgsb import lbfgsb
+
+    n, m = problem.shape
+    d = cfg.latent_d
+    x0 = jnp.concatenate([state.U.reshape(-1), state.V.reshape(-1)])
+
+    def neg_ll(x):
+        U = x[: n * d].reshape(n, d)
+        V = x[n * d :].reshape(m, d)
+        return -log_likelihood(state, problem, cfg, U=U, V=V)
+
+    res = lbfgsb(
+        jax.value_and_grad(neg_ll), x0,
+        -jnp.inf, jnp.inf, max_iters=max_iters, pgtol=1e-8,
+    )
+    return state.replace(
+        U=res.x[: n * d].reshape(n, d), V=res.x[n * d :].reshape(m, d)
+    )
+
+
 def update_sigma(state: PMFState, problem: Problem, cfg: PMFConfig) -> PMFState:
     """Type-II ML noise-variance update (reference: pmf.py:151-157)."""
     pred = predicted_matrix(state, cfg)
@@ -459,6 +487,8 @@ def do_fit(
     kind, *args = fit_type
     if kind == "batch":
         return fit(state, problem, cfg)[0]
+    if kind == "lbfgs":
+        return fit_lbfgs(state, problem, cfg, *args)
     if kind == "mini-valid":
         if key is None:
             key = jax.random.PRNGKey(0)

@@ -30,6 +30,12 @@ def _ml100k_path() -> Optional[str]:
     return find_reference_dataset("movielens-100k")
 
 
+def _drugbank_path() -> Optional[str]:
+    root = os.environ.get("AMF_REFERENCE_ROOT", "/root/reference")
+    path = os.path.join(root, "drugbank", "subset_94x425.npy")
+    return path if os.path.exists(path) else None
+
+
 def catalog() -> Dict[str, Experiment]:
     """The reference workload table (BASELINE.md)."""
     exps: Dict[str, Experiment] = {}
@@ -104,6 +110,35 @@ def catalog() -> Dict[str, Experiment]:
                     "--float32",
                     "--save-results", "{out}/results_bayes.pkl", "--no-verbose",
                     "random", "pred-variance",
+                ],
+            },
+        )
+
+    db = _drugbank_path()
+    if db:
+        # results/drugbank-94x425/Makefile:32,41-66: 500 drugbank-picked seeds,
+        # 2000 equal-class test cells, binary accuracy, d=20, 150 steps, C=1
+        exps["drugbank-94x425"] = Experiment(
+            name="drugbank-94x425",
+            source="results/drugbank-94x425/Makefile",
+            data_cmd=[
+                "amf_tpu.run.choose_training", db, "{data}",
+                "--drugbank", "--n-pick", "500",
+                "--test-equal-classes", "--n-test", "2000",
+            ],
+            runs={
+                "mmmf": [
+                    "amf_tpu.run.active_mmmf", "--load-data", "{data}",
+                    "-C", "1", "--steps", "150",
+                    "--save-results", "{out}/results_mmmf.pkl", "--no-verbose",
+                    "random", "min-margin", "min-margin-pos",
+                ],
+                "stan": [
+                    "amf_tpu.run.bpmf", "--load-data", "{data}",
+                    "--latent-d", "20", "--samps", "200", "--warmup", "100",
+                    "--steps", "150", "--float32",
+                    "--save-results", "{out}/results_stan.pkl", "--no-verbose",
+                    "random", "pred-variance", "prob-ge-0",
                 ],
             },
         )

@@ -166,3 +166,19 @@ def test_parse_fit_type():
     assert pmf.parse_fit_type("batch") == ("batch",)
     assert pmf.parse_fit_type("mini-valid,100,50") == ("mini-valid", 100, 50)
     assert pmf.parse_fit_type("mini-valid,100,50,0.5") == ("mini-valid", 100, 50, 0.5)
+
+
+def test_fit_lbfgs_reaches_map(rng, key):
+    """L-BFGS fit must reach at least the adaptive-LR fit's log likelihood
+    (same MAP objective, faster optimizer)."""
+    real, prob = _problem(rng, n=15, m=12, noise=0.05, mask=0.6)
+    cfg = pmf.PMFConfig(latent_d=3)
+    st = pmf.init_state(key, *prob.shape, cfg, prob, dtype=jnp.float64)
+    st_grad, _ = pmf.fit(st, prob, cfg)
+    st_lbfgs = pmf.fit_lbfgs(st, prob, cfg, max_iters=400)
+    ll_grad = float(pmf.log_likelihood(st_grad, prob, cfg))
+    ll_lbfgs = float(pmf.log_likelihood(st_lbfgs, prob, cfg))
+    assert ll_lbfgs >= ll_grad - 1e-3
+    # dispatch through the fit-type DSL
+    st_dsl = pmf.do_fit(st, prob, cfg, fit_type=pmf.parse_fit_type("lbfgs,200"))
+    assert float(pmf.log_likelihood(st_dsl, prob, cfg)) >= ll_grad - 1e-2
