@@ -29,6 +29,7 @@ def run_active_rc(
     seed: int = 0,
     pred_mode: bool = False,
     lookahead_iters: int = 60,
+    lookahead_tile: int = 0,
     max_iters: int = 500,
     dtype=jnp.float64,
     verbose: bool = False,
@@ -53,7 +54,8 @@ def run_active_rc(
     fit_fn = jax.jit(lambda prob, warm: rc.fit(prob, cfg, warmstart=warm, dtype=dtype))
     lookahead_fn = jax.jit(
         lambda x, data, prob: rc.entropy_lookahead_scores(
-            x, data, prob, cfg, lookahead_iters=lookahead_iters, dtype=dtype
+            x, data, prob, cfg, lookahead_iters=lookahead_iters, dtype=dtype,
+            candidate_tile=lookahead_tile,
         ).reshape(n, m)
     )
 

@@ -54,6 +54,7 @@ def run_active_stan(
     chains: int = 1,
     lookahead_samps: int = 30,
     lookahead_warmup: int = 15,
+    lookahead_tile: int = 0,
     steps: Optional[int] = None,
     seed: int = 0,
     model_init_map: bool = True,
@@ -113,7 +114,7 @@ def run_active_stan(
             lambda k, st, prob, base: bpmf_hmc.lookahead_scores(
                 k, st, prob, cfg, base, vals, stat=stat,
                 num_samps=lookahead_samps, warmup=lookahead_warmup,
-                n_base_samples=num_samps,
+                n_base_samples=num_samps, candidate_tile=lookahead_tile,
             ).reshape(n, m)
         )
 

@@ -95,7 +95,11 @@ def _build_subtree(
         delta = H - H0
         diverging = diverging | (delta > cfg.max_delta_energy) | ~jnp.isfinite(delta)
         logw_leaf = jnp.where(jnp.isfinite(delta), -delta, -jnp.inf)
-        sum_acc = sum_acc + jnp.minimum(1.0, jnp.exp(-delta))
+        # non-finite energy counts as accept-prob 0 (Stan semantics); letting
+        # the NaN through would poison dual averaging for the whole run
+        sum_acc = sum_acc + jnp.where(
+            jnp.isfinite(delta), jnp.minimum(1.0, jnp.exp(-delta)), 0.0
+        )
 
         # streaming multinomial candidate selection
         new_logw = jnp.logaddexp(logw, logw_leaf)

@@ -281,10 +281,15 @@ def lookahead_scores(
     cand: Optional[jax.Array] = None,
     dirichlet_alpha: float = 0.1,
     n_base_samples: int = 128,
+    candidate_tile: int = 0,
 ) -> jax.Array:
     """exp-variance / exp-entropy-est: per (candidate, value) a fresh short
     NUTS run from the sampled mode, statistic integrated under the
-    Dirichlet-smoothed per-cell marginals."""
+    Dirichlet-smoothed per-cell marginals.
+
+    candidate_tile bounds peak memory by chunking the vmapped candidate
+    fan-out through lax.map (each lane carries its own problem copy and NUTS
+    chain state; at reference scale the untiled fan-out cannot fit)."""
     from amf_tpu.models import sample_stats
 
     n, m = problem.shape
@@ -315,8 +320,24 @@ def lookahead_scores(
     keys = jax.random.split(key, cand.shape[0] * n_vals).reshape(
         cand.shape[0], n_vals, -1
     )
-    evals = jax.vmap(
+    eval_tile = jax.vmap(
         lambda i, j, ks: jax.vmap(lambda v, k: eval_one(i, j, v, k))(values, ks)
-    )(ii, jj, keys)
+    )
+    c_total = cand.shape[0]
+    if candidate_tile and c_total > candidate_tile:
+        tile = candidate_tile
+        pad = (-c_total) % tile
+
+        def padded(x):
+            widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, widths)
+
+        chunks = lambda x: x.reshape((-1, tile) + x.shape[1:])
+        evals = jax.lax.map(
+            lambda args: eval_tile(*args),
+            (chunks(padded(ii)), chunks(padded(jj)), chunks(padded(keys))),
+        ).reshape(c_total + pad, n_vals)[:c_total]
+    else:
+        evals = eval_tile(ii, jj, keys)
     scores = jnp.sum(evals * w_c, axis=-1)
     return jnp.where(problem.queryable[ii, jj], scores, jnp.nan)

@@ -141,23 +141,32 @@ class OrdinalConfig(NamedTuple):
 
 
 def _isotonic(v: jax.Array) -> jax.Array:
-    """Project onto nondecreasing vectors (pool-adjacent-violators along the
-    last axis; exact for the small threshold counts here)."""
+    """Exact L2 projection onto nondecreasing vectors along the last axis via
+    the minimax representation of isotonic regression:
+        iso(v)_k = max_{i <= k} min_{j >= k} mean(v[i..j]).
+    O(R^3) in the threshold count — trivial for the <= R-1 thresholds here,
+    and fully vectorized (no PAV recursion)."""
     R = v.shape[-1]
+    cs = jnp.concatenate(
+        [jnp.zeros(v.shape[:-1] + (1,), v.dtype), jnp.cumsum(v, -1)], -1
+    )
+    i = jnp.arange(R)[:, None]  # segment start
+    j = jnp.arange(R)[None, :]  # segment end (inclusive)
+    seg_mean = (cs[..., j + 1] - cs[..., i]) / jnp.maximum(j - i + 1, 1)
+    valid = j >= i
+    big = jnp.asarray(jnp.inf, v.dtype)
+    seg_mean = jnp.where(valid, seg_mean, big)  # (..., R, R), [i, j]
 
-    def body(_, x):
-        # one PAV-style sweep: average adjacent violating pairs
-        left = x[..., :-1]
-        right = x[..., 1:]
-        viol = left > right
-        avg = (left + right) / 2
-        new_left = jnp.where(viol, avg, left)
-        new_right = jnp.where(viol, avg, right)
-        x = x.at[..., :-1].set(new_left)
-        x = x.at[..., 1:].set(new_right)
-        return x
-
-    return jax.lax.fori_loop(0, R * R, body, v)
+    k = jnp.arange(R)
+    # min over j >= k of mean(i..j): (..., K, I)
+    mask_kj = j[0][None, :] >= k[:, None]  # (K, J)
+    min_over_j = jnp.min(
+        jnp.where(mask_kj[:, None, :], seg_mean[..., None, :, :], big),
+        axis=-1,
+    )
+    # max over i <= k: (..., K)
+    mask_ki = i[:, 0][None, :] <= k[:, None]  # (K, I)
+    return jnp.max(jnp.where(mask_ki, min_over_j, -big), axis=-1)
 
 
 def ordinal_loss_grads(X, theta, Y_int, observed, R: int, cfg: OrdinalConfig):
@@ -219,6 +228,8 @@ def solve_ordinal(
     Returns (xy predicted labels, X, theta).
     """
     Y = jnp.asarray(Y)
+    if not jnp.issubdtype(Y.dtype, jnp.floating):
+        Y = Y.astype(jnp.float32)  # integer labels are the documented input
     n, m = Y.shape
     if R is None:
         R = int(jnp.max(Y))

@@ -253,6 +253,7 @@ def entropy_lookahead_scores(
     lookahead_iters: int = 60,
     cand: Optional[jax.Array] = None,
     dtype=jnp.float64,
+    candidate_tile: int = 0,
 ) -> jax.Array:
     """select_1step_lowest_entropy.m:1-41: for each candidate cell and value,
     refit the maxent model (warm-started, budgeted) and compute the entropy of
@@ -283,5 +284,19 @@ def entropy_lookahead_scores(
         w = P_now[i, j]
         return jnp.sum(w * ents)
 
-    scores = jax.vmap(per_cand)(ii, jj)
+    c_total = cand.shape[0]
+    if candidate_tile and c_total > candidate_tile:
+        # each lane solves a full warm-started dual with (n, m, V) logits
+        # intermediates — chunk the fan-out to bound peak memory
+        tile = candidate_tile
+        pad = (-c_total) % tile
+        ii_p = jnp.pad(ii, (0, pad))
+        jj_p = jnp.pad(jj, (0, pad))
+        chunks = lambda x: x.reshape(-1, tile)
+        scores = jax.lax.map(
+            lambda args: jax.vmap(per_cand)(*args),
+            (chunks(ii_p), chunks(jj_p)),
+        ).reshape(-1)[:c_total]
+    else:
+        scores = jax.vmap(per_cand)(ii, jj)
     return jnp.where(problem.queryable[ii, jj], scores, jnp.nan)

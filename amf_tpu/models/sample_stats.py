@@ -108,10 +108,16 @@ def matrix_normal_mle_from_factors(
         y = jax.scipy.linalg.solve_triangular(chol, x, lower=True)
         return jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
 
-    # init: v = I_m; u = sum_s x x^T
+    # init: v = I_m; u = (1/(S m)) sum_s x x^T.
+    # NOTE the 1/(S p) and 1/(S n) normalizations are Dutilleul's actual
+    # iteration; the reference's loop omits them (stan-bpmf/bpmf.py:150-161,
+    # visible in its own commented-out einsum at :125) which makes the factor
+    # scales drift geometrically by (m/n) per sweep on non-square matrices —
+    # overflow/NaN for every dataset here. We keep the correct normalization
+    # (covariances are anyway only identified up to their Kronecker product).
     u0 = scan_preds(
         lambda c, p: c + (p - mean) @ (p - mean).T, jnp.zeros((n, n), dtype)
-    )
+    ) / (S * m)
     v0 = jnp.eye(m, dtype=dtype)
 
     def cond(carry):
@@ -124,12 +130,12 @@ def matrix_normal_mle_from_factors(
         v_new = scan_preds(
             lambda c, p: c + (p - mean).T @ solve_with(u_ch, p - mean),
             jnp.zeros((m, m), dtype),
-        )
+        ) / (S * n)
         v_ch = safe_cho(v_new)
         u_new = scan_preds(
             lambda c, p: c + (p - mean) @ solve_with(v_ch, (p - mean).T),
             jnp.zeros((n, n), dtype),
-        )
+        ) / (S * m)
         du = jnp.linalg.norm(u_new - u)
         dv = jnp.linalg.norm(v_new - v)
         return u_new, v_new, du, dv, it + 1

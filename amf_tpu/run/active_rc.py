@@ -28,6 +28,8 @@ def main(argv=None):
     parser.add_argument("--float32", action="store_true")
     parser.add_argument("--max-iters", type=int, default=500)
     parser.add_argument("--lookahead-iters", type=int, default=60)
+    parser.add_argument("--lookahead-tile", type=int, default=256,
+                        help="candidates per vmapped lookahead pass (memory bound)")
     parser.add_argument("--verbose", action="store_true", default=True)
     parser.add_argument("--no-verbose", action="store_false", dest="verbose")
     parser.add_argument("--load-data", required=True, metavar="FILE")
@@ -88,6 +90,7 @@ def main(argv=None):
         steps=args.steps, seed=args.seed,
         pred_mode=args.pred_mode,
         lookahead_iters=args.lookahead_iters,
+        lookahead_tile=args.lookahead_tile,
         max_iters=args.max_iters,
         dtype=dtype, verbose=args.verbose,
     )

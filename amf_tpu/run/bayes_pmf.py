@@ -30,6 +30,8 @@ def main(argv=None):
     parser.add_argument("--fit", default="batch")
     parser.add_argument("--samps", "-S", type=int, default=128)
     parser.add_argument("--lookahead-samps", type=int, default=30)
+    parser.add_argument("--lookahead-tile", type=int, default=256,
+                        help="candidates per vmapped lookahead pass (memory bound)")
     parser.add_argument("--test-set", default="all")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--float32", action="store_true")
@@ -98,6 +100,7 @@ def main(argv=None):
         subtract_mean=args.subtract_mean,
         num_samps=args.samps,
         lookahead_samps=args.lookahead_samps,
+        lookahead_tile=args.lookahead_tile,
         steps=args.steps,
         seed=args.seed,
         fit_type=parse_fit_type(args.fit),

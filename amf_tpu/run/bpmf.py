@@ -27,6 +27,8 @@ def main(argv=None):
     parser.add_argument("--chains", type=int, default=1)
     parser.add_argument("--lookahead-samps", type=int, default=100)
     parser.add_argument("--lookahead-warmup", type=int, default=50)
+    parser.add_argument("--lookahead-tile", type=int, default=256,
+                        help="candidates per vmapped lookahead pass (memory bound)")
     parser.add_argument("--subtract-mean", action="store_true", default=True)
     parser.add_argument(
         "--no-subtract-mean", action="store_false", dest="subtract_mean"
@@ -104,6 +106,7 @@ def main(argv=None):
         chains=args.chains,
         lookahead_samps=args.lookahead_samps,
         lookahead_warmup=args.lookahead_warmup,
+        lookahead_tile=args.lookahead_tile,
         steps=args.steps,
         seed=args.seed,
         model_init_map=args.model_init,
