@@ -136,7 +136,10 @@ def lookahead_scores(
 
     # --- predictive distribution for R_ij used to weight the values
     if crit.use_map:
-        mean_mat = pmf_state.U @ pmf_state.V.T  # (reference: active_pmf.py:658)
+        # reference: np.dot(users[i], items[j]) — no mean shift because
+        # ActivePMF pins subtract_mean=False (active_pmf.py:110-112, 658);
+        # honor the config for generality
+        mean_mat = pmf.predicted_matrix(pmf_state, pcfg)
         var_mat = jnp.broadcast_to(pmf_state.sigma_sq, mean_mat.shape)
     else:
         mean_mat, var_mat = adapter.pred_mean_var(approx_state, problem)
@@ -148,14 +151,19 @@ def lookahead_scores(
     std_c = std_mat[ii, jj]
 
     dtype = mean_c.dtype
-    if lcfg.discretize == "continuous" or not lcfg.rating_values:
+    # the reference forces discretization for the 1-step active-search
+    # criteria regardless of discrete_expectations (active_pmf.py:469-474)
+    discretize = lcfg.discretize
+    if crit.stat == "1step-ge" and lcfg.rating_values:
+        discretize = "sum"
+    if discretize == "continuous" or not lcfg.rating_values:
         pts, wts = quadrature.gauss_legendre_nodes(
             mean_c, std_c, lcfg.n_integration_nodes
         )
         vals_c, w_c = pts, wts  # (C, V)
     else:
         values = np.asarray(sorted(lcfg.rating_values), dtype=np.float64)
-        if lcfg.discretize == "simps":
+        if discretize == "simps":
             w_c = quadrature.simpson_weights(mean_c, std_c, values)
         else:
             bounds = rating_bounds(tuple(values))

@@ -144,7 +144,7 @@ def run_active_pmf(
 
     @jax.jit
     def test_rmse(pst, prob):
-        pred = pst.U @ pst.V.T
+        pred = pmf.predicted_matrix(pst, pcfg)
         return metrics.rmse_on(pred, real_j, prob.test)
 
     score_fns = {}
@@ -156,7 +156,9 @@ def run_active_pmf(
                 @jax.jit
                 def fn(pst, ast, prob, k, _crit=crit):
                     amv = adapter.pred_mean_var(ast, prob) if _crit.needs_approx else None
-                    ev = criteria_mod.direct_scores(_crit, pst.U @ pst.V.T, amv, k)
+                    ev = criteria_mod.direct_scores(
+                        _crit, pmf.predicted_matrix(pst, pcfg), amv, k
+                    )
                     return jnp.where(prob.queryable, ev, jnp.nan)
 
             elif mesh is not None:

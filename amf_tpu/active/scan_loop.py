@@ -29,6 +29,7 @@ class SweepResult(NamedTuple):
     picks_i: jax.Array  # (steps,)
     picks_j: jax.Array  # (steps,)
     valid: jax.Array  # (steps,) False once the pool is exhausted
+    rmse0: jax.Array  # scalar: pre-query RMSE after the initial fit
 
 
 def run_active_scan(
@@ -63,7 +64,9 @@ def run_active_scan(
     def score(pst, ast, prob, k):
         if crit.kind == "direct":
             amv = adapter.pred_mean_var(ast, prob) if crit.needs_approx else None
-            return criteria_mod.direct_scores(crit, pst.U @ pst.V.T, amv, k)
+            return criteria_mod.direct_scores(
+                crit, pmf.predicted_matrix(pst, pcfg), amv, k
+            )
         assert lcfg is not None, "lookahead criteria need a LookaheadConfig"
         return lookahead_mod.lookahead_scores(
             crit, pst, ast, prob, k, pcfg, adapter, lcfg
@@ -88,12 +91,15 @@ def run_active_scan(
         pst, _ = pmf.fit(pst, prob, pcfg, max_steps=refit_budget)
         if crit.needs_approx:
             ast = adapter.fit_approx(ast, pst, prob, approx_budget)
-        err = metrics.rmse_on(pst.U @ pst.V.T, real, prob.test)
+        err = metrics.rmse_on(pmf.predicted_matrix(pst, pcfg), real, prob.test)
         out = (prob.n_rated, err, i, j, any_left)
         return (prob, pst, ast), out
 
+    rmse0 = metrics.rmse_on(
+        pmf.predicted_matrix(pst0, pcfg), real, problem.test
+    )
     keys = jax.random.split(key, steps)
     (prob, pst, ast), (nr, errs, pi, pj, valid) = jax.lax.scan(
         step, (problem, pst0, ast0), keys
     )
-    return SweepResult(nr, errs, pi, pj, valid), pst
+    return SweepResult(nr, errs, pi, pj, valid, rmse0), pst

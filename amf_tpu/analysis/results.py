@@ -114,12 +114,34 @@ def count_ge_cutoff_curve(
     recs = results[key]
     ns, counts = [], []
     total = 0
-    for num_rated, _, ij, _ in recs:
+    for rec in recs:  # records may carry a 5th pred_matrix element (mmmf)
+        num_rated, ij = rec[0], rec[2]
         if ij is not None and real[ij[0], ij[1]] >= cutoff:
             total += 1
         ns.append(num_rated)
         counts.append(total)
     return np.asarray(ns), np.asarray(counts)
+
+
+def first_step_maps(
+    results_list: List[Dict], keys: List[str]
+) -> Dict[str, "np.ndarray"]:
+    """First-step criterion maps, labeled 'run<i>:<key>' when the same key
+    appears in multiple files (so two runs of one criterion still pair)."""
+    maps: Dict[str, np.ndarray] = {}
+    for idx, res in enumerate(results_list):
+        for key in keys:
+            if key in res:
+                ev = first_step_evals(res[key])
+                if ev is not None:
+                    label = key if key not in maps and not any(
+                        k.endswith(":" + key) for k in maps
+                    ) else f"run{idx}:{key}"
+                    if key in maps:  # retro-label the first occurrence
+                        maps[f"run0:{key}"] = maps.pop(key)
+                        label = f"run{idx}:{key}"
+                    maps[label] = ev
+    return maps
 
 
 def compare_first_steps(
@@ -129,13 +151,7 @@ def compare_first_steps(
     across results files (reference: compare_firsts.py:133-151)."""
     from amf_tpu.analysis.metrics import kendall_tau
 
-    maps = {}
-    for res in results_list:
-        for key in keys:
-            if key in res:
-                ev = first_step_evals(res[key])
-                if ev is not None:
-                    maps[key] = ev
+    maps = first_step_maps(results_list, keys)
     out = {}
     names = sorted(maps)
     for i, a in enumerate(names):

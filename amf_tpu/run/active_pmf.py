@@ -149,8 +149,11 @@ def main(argv=None):
             v_mean=args.v_mean, v_std=args.v_std, rng=rng,
         )
         vals = tuple(vals) if vals else ()
+        # synthetic data: every cell is knowable (the reference applies the
+        # 0-means-unknowable rule only to --load-data, active_pmf.py:1216-1219)
         problem = types.problem_from_dense(
-            real, known, dtype=jnp.float32 if args.float32 else jnp.float64
+            real, known, dtype=jnp.float32 if args.float32 else jnp.float64,
+            zeros_unknowable=False,
         )
 
     if args.scan:
@@ -165,27 +168,40 @@ def main(argv=None):
         if args.model != "vn":
             sys.stderr.write("--scan currently supports --model vn only\n")
             sys.exit(1)
+        if args.fit_sigmas:
+            sys.stderr.write("--scan does not support --fit-sigmas\n")
+            sys.exit(1)
         pcfg = pmf_mod.PMFConfig(latent_d=args.latent_d)
+        discretize = (
+            args.discrete_integration
+            if isinstance(args.discrete_integration, str)
+            else ("sum" if args.discrete_integration else "continuous")
+        )
         lcfg = lookahead_mod.LookaheadConfig(
             rating_values=vals,
             refit_lookahead=args.refit_lookahead,
-            discretize="sum" if args.discrete_integration else "continuous",
+            discretize=discretize,
             pmf_refit_steps=args.lookahead_budget,
             approx_refit_steps=args.lookahead_budget,
+            candidate_tile=args.lookahead_tile,
         )
         n_q = int(np.asarray(problem.queryable).sum())
-        steps = min(args.steps or n_q, n_q)
+        # reference step semantics: --steps counts RECORDS including the
+        # initial pre-query one (islice(res, steps), active_pmf.py:1074)
+        n_queries = min((args.steps - 1) if args.steps else n_q, n_q)
         results = {
             "_real": np.asarray(real),
             "_rating_vals": vals or None,
         }
         for key_name in key_names:
             crit = registry[key_name]
-            res, _ = scan_loop.run_active_scan(
-                problem, real, crit, steps,
+            res, pst_final = scan_loop.run_active_scan(
+                problem, real, crit, n_queries,
                 jax.random.PRNGKey(args.seed), pcfg, lcfg=lcfg,
             )
-            recs = [
+            # initial pre-query record, as in the loop path / reference
+            recs = [(int(problem.n_rated), float(res.rmse0), None, None)]
+            recs += [
                 (int(nr), float(err), (int(i), int(j)), None)
                 for nr, err, i, j, ok in zip(
                     np.asarray(res.n_rated), np.asarray(res.rmse),

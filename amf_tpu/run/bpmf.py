@@ -89,6 +89,9 @@ def main(argv=None):
     query_on, test_on = split_query_test(real, ratings, args.test_set, rng)
     if "_test_on" in data:
         test_on = data["_test_on"]
+        # held-out test cells must not be queryable (reference:
+        # stan-bpmf/bpmf.py:915, mn_active_pmf.py:1091-1093)
+        query_on = query_on & ~np.asarray(test_on, dtype=bool)
 
     dtype = jnp.float32 if args.float32 else jnp.float64
     problem = types.problem_from_ratings(ratings, real=real, test=test_on, dtype=dtype)

@@ -209,7 +209,10 @@ def main(argv=None):
     exp = exps[args.experiment]
     out = os.path.join(args.outdir, exp.name)
     os.makedirs(out, exist_ok=True)
-    data = os.path.join(out, "data.pkl")
+    # choose_training saves via np.savez_compressed, which appends .npz to
+    # any other suffix — name the file accordingly or it is never found
+    suffix = ".npz" if "choose_training" in exp.data_cmd[0] else ".pkl"
+    data = os.path.join(out, "data" + suffix)
     rev = _git_rev()
 
     def fill(tokens):

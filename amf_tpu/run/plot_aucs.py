@@ -34,13 +34,17 @@ def main(argv=None):
     for path in args.results_files:
         res = R.load_results(path, args.kind)
         aucs = R.aucs(res)
-        rand_auc = None
+        # per-kind random AUCs: 'bayes_random' normalizes 'bayes_*' etc.
+        rand_by_prefix = {
+            k[: -len("random")]: v for k, v in aucs.items()
+            if k == "random" or k.endswith("_random")
+        }
         for k, v in aucs.items():
-            if k.endswith("random"):
-                rand_auc = v
-        for k, v in aucs.items():
-            if args.vs_random and rand_auc:
-                v = v / rand_auc
+            if args.vs_random:
+                prefix = k.rsplit("_", 1)[0] + "_" if "_" in k else ""
+                rand_auc = rand_by_prefix.get(prefix) or rand_by_prefix.get("")
+                if rand_auc:
+                    v = v / rand_auc
             per_key[k].append(v)
             ns, errs = R.rmse_curve(res[k])
             per_key_final[k].append(errs[-1])

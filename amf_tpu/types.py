@@ -73,19 +73,30 @@ def problem_from_dense(
     queryable: Optional[np.ndarray] = None,
     test: Optional[np.ndarray] = None,
     dtype=jnp.float32,
+    zeros_unknowable: bool = True,
 ) -> Problem:
     """Build a Problem from a dense matrix + initially-known mask.
 
     Mirrors how reference CLIs derive knowable/pickable/test masks
-    (reference: python-pmf/bayes_pmf.py:739-772): cells with value 0 or NaN are
-    unknowable; queryable defaults to knowable-and-not-known; test defaults to
-    all knowable cells.
+    (reference: python-pmf/bayes_pmf.py:739-772): cells with value 0 or NaN
+    are unknowable (for LOADED data; pass zeros_unknowable=False for
+    synthetic data, where the reference treats every cell as knowable —
+    active_pmf.py:1216-1219 applies the 0-rule only to --load-data);
+    queryable defaults to knowable-and-not-known; test defaults to all
+    knowable cells. When an explicit held-out ``test`` mask is given, test
+    cells are EXCLUDED from the query pool (reference:
+    mn_active_pmf.py:1091-1093, stan-bpmf/bpmf.py:915) so the learner cannot
+    train on its own test set.
     """
     real = np.asarray(real, dtype=np.float64)
     known = np.asarray(known, dtype=bool)
-    knowable = np.isfinite(real) & (real != 0)
+    knowable = np.isfinite(real)
+    if zeros_unknowable:
+        knowable &= real != 0
     if queryable is None:
         queryable = knowable & ~known
+        if test is not None:
+            queryable = queryable & ~np.asarray(test, dtype=bool)
     if test is None:
         test = knowable
     r_obs = np.where(known, np.nan_to_num(real), 0.0)
@@ -139,7 +150,9 @@ def problem_from_ratings(
     if test is None:
         test_mask = knowable
     else:
+        # held-out test cells are not queryable (see problem_from_dense)
         test_mask = np.asarray(test, dtype=bool)
+        queryable = queryable & ~test_mask
     return Problem(
         R_obs=jnp.asarray(r_obs, dtype=dtype),
         rated=jnp.asarray(known),
