@@ -30,6 +30,8 @@ def main(argv=None):
     parser.add_argument("--lookahead-iters", type=int, default=60)
     parser.add_argument("--lookahead-tile", type=int, default=256,
                         help="candidates per vmapped lookahead pass (memory bound)")
+    parser.add_argument("--any-vals", action="store_true", default=False,
+                        help="allow value sets beyond the reference's 1:5/1:2")
     parser.add_argument("--verbose", action="store_true", default=True)
     parser.add_argument("--no-verbose", action="store_false", dest="verbose")
     parser.add_argument("--load-data", required=True, metavar="FILE")
@@ -83,6 +85,23 @@ def main(argv=None):
     )
 
     vals = data.get("_rating_vals")
+    # 0 marks 'unknowable' in the schema, never a rating value
+    eff_vals = (sorted(float(v) for v in vals if v != 0) if vals is not None
+                else sorted(set(real[np.isfinite(real) & (real != 0)].ravel())))
+    if not args.any_vals and eff_vals not in (
+        [1.0, 2.0, 3.0, 4.0, 5.0], [1.0, 2.0],
+    ):
+        # reference hard-errors on any other value set
+        # (evaluate_active.m:20-25); the generalized feature map here can
+        # handle arbitrary discrete values, but a large/continuous value set
+        # explodes the lookahead fan-out — require explicit opt-in
+        sys.stderr.write(
+            f"rating values {eff_vals[:8]}{'...' if len(eff_vals) > 8 else ''} "
+            "are not 1:5 or 1:2 (the only sets the reference supports, "
+            "evaluate_active.m:20-25); pass --any-vals to run anyway\n"
+        )
+        sys.exit(1)
+
     results = run_active_rc(
         problem, real, key_names,
         delta=args.delta,

@@ -4,14 +4,17 @@ results/*/Makefile workloads (SURVEY.md §6), driven as one CLI.
 The reference runs experiments through per-directory Makefiles
 (Makefile-template:1-113) with data-prep + per-model-result targets, git-rev
 provenance stamping (get_git_rev.sh), and skip-if-exists semantics. This CLI
-reproduces that: `--list` shows the catalog; running an experiment prepares
-data (cached), runs the requested model CLIs, and stamps provenance notes.
+reproduces that: `--list` shows the catalog (one entry per reference
+experiment directory, each naming its source Makefile); running an experiment
+prepares data (cached), runs the requested model CLIs, and stamps provenance
+notes. Flags below are transcribed from the cited Makefiles.
 """
 
 from __future__ import annotations
 
 import argparse
 import os
+import shutil
 import subprocess
 import sys
 from typing import Dict, List, NamedTuple, Optional
@@ -24,147 +27,325 @@ class Experiment(NamedTuple):
     runs: Dict[str, List[str]]  # result-kind -> argv for the model CLI
 
 
-def _ml100k_path() -> Optional[str]:
-    from amf_tpu.data.loaders import find_reference_dataset
+def _dataset(name: str) -> str:
+    """Resolve a reference dataset path or fail with a clear message.
 
-    return find_reference_dataset("movielens-100k")
-
-
-def _drugbank_path() -> Optional[str]:
+    Catalog entries are listed unconditionally; missing source data only
+    errors when the experiment is actually run.
+    """
     root = os.environ.get("AMF_REFERENCE_ROOT", "/root/reference")
-    path = os.path.join(root, "drugbank", "subset_94x425.npy")
-    return path if os.path.exists(path) else None
+    paths = {
+        "movielens-100k": "movielens-100k/ratings_matrix.npy.gz",
+        "movielens-75k": "movielens-100k/half_ratings.npy.gz",
+        "movielens-58k": "movielens-100k/half_ratings_70.npy.gz",
+        "drugbank-94x425": "drugbank/subset_94x425.npy",
+        "criteria-10x10-data": "results/criteria/10x10_r1_u10_v10_1/data.pkl",
+    }
+    path = os.path.join(root, paths[name])
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"reference dataset {name!r} not found at {path} "
+            "(set AMF_REFERENCE_ROOT to a reference checkout)"
+        )
+    return path
 
 
 def catalog() -> Dict[str, Experiment]:
-    """The reference workload table (BASELINE.md)."""
+    """The reference workload table (BASELINE.md): every results/*/Makefile."""
     exps: Dict[str, Experiment] = {}
 
-    # 10x10 rank-2 discrete (results/10x10_discrete2_d2/Makefile:46-51).
-    # NOTE: the literal reference counts (known-pos 10 / unknown-pos 90 at
-    # cutoff 4) are infeasible for rejection sampling; these match the
-    # documented mechanism with attainable counts.
+    # ---- 10x10 rank-2 discrete (results/10x10_discrete2_d2/Makefile:46-51):
+    # generate.py --rows 10 --cols 10 --rank 2 --known-pos 10 --unknown-pos 90
+    # --cutoff 0 (cutoff 0 makes the 10/90 positive counts trivially
+    # satisfiable), LATENT_D=2, --no-subtract-mean everywhere.
     exps["10x10_discrete2_d2"] = Experiment(
         name="10x10_discrete2_d2",
         source="results/10x10_discrete2_d2/Makefile",
         data_cmd=[
             "amf_tpu.run.generate", "--rows", "10", "--cols", "10",
-            "--rank", "2", "--known-pos", "4", "--unknown-pos", "36",
-            "{data}",
+            "--rank", "2", "--known-pos", "10", "--unknown-pos", "90",
+            "--cutoff", "0", "{data}",
         ],
         runs={
+            # Makefile:137-147 lists `pred-variance exp-variance random`;
+            # exp-variance is not an ActivePMF key (active_pmf.py:901-923
+            # would reject it) — run the valid keys.
             "apmf": [
                 "amf_tpu.run.active_pmf", "--load-data", "{data}",
                 "--latent-d", "2", "--discrete-integration",
                 "--refit-lookahead",
+                "--checkpoint", "{out}/ckpt_apmf.pkl",
                 "--save-results", "{out}/results_apmf.pkl", "--no-verbose",
-                "random", "pred-variance", "total-variance", "uv-entropy",
+                "pred-variance", "random",
             ],
+            # Makefile:55-64: all keys (none listed), s200/w200,
+            # lookahead s100/w50
             "stan": [
                 "amf_tpu.run.bpmf", "--load-data", "{data}",
-                "--latent-d", "2", "--samps", "200", "--warmup", "200",
+                "--latent-d", "2", "--no-subtract-mean",
+                "--samps", "200", "--warmup", "200",
+                "--lookahead-samps", "100", "--lookahead-warmup", "50",
+                "--checkpoint", "{out}/ckpt_stan.pkl",
+                "--save-results", "{out}/results_stan.pkl", "--no-verbose",
+            ],
+            # Makefile:127-136: all keys, s200, lookahead s100
+            "bayes": [
+                "amf_tpu.run.bayes_pmf", "--load-data", "{data}",
+                "--latent-d", "2", "--no-subtract-mean", "--samps", "200",
+                "--lookahead-samps", "100",
+                "--checkpoint", "{out}/ckpt_bayes.pkl",
+                "--save-results", "{out}/results_bayes.pkl", "--no-verbose",
+            ],
+            # Makefile:149-156: -C 1 --cutoff 3.5, all selectors
+            "mmmf": [
+                "amf_tpu.run.active_mmmf", "--load-data", "{data}",
+                "--cutoff", "3.5", "-C", "1",
+                "--save-results", "{out}/results_mmmf.pkl", "--no-verbose",
+            ],
+            # Makefile:158-166: --delta 1.5 --pred-mean, entropy random
+            "rc": [
+                "amf_tpu.run.active_rc", "--load-data", "{data}",
+                "--delta", "1.5", "--pred-mode",
+                "--save-results", "{out}/results_rc.pkl", "--no-verbose",
+                "entropy", "random",
+            ],
+        },
+    )
+
+    # ---- 10x10 rank-4 d=4 (results/10x10_discrete4_d4/Makefile:31,38-43)
+    exps["10x10_discrete4_d4"] = Experiment(
+        name="10x10_discrete4_d4",
+        source="results/10x10_discrete4_d4/Makefile",
+        data_cmd=[
+            "amf_tpu.run.generate", "--rows", "10", "--cols", "10",
+            "--rank", "4", "--known-pos", "10", "--unknown-pos", "90",
+            "--cutoff", "0", "{data}",
+        ],
+        runs={
+            # Makefile:45-56: stan all keys, --test-set all, s200/w100
+            "stan": [
+                "amf_tpu.run.bpmf", "--load-data", "{data}",
+                "--latent-d", "4", "--no-subtract-mean", "--test-set", "all",
+                "--samps", "200", "--warmup", "100",
+                "--lookahead-samps", "100", "--lookahead-warmup", "50",
+                "--checkpoint", "{out}/ckpt_stan.pkl",
+                "--save-results", "{out}/results_stan.pkl", "--no-verbose",
+            ],
+            # Makefile:58-66: mn_active_pmf --discrete --refit-lookahead,
+            # all keys
+            "mnpmf": [
+                "amf_tpu.run.active_pmf", "--model", "mn",
+                "--load-data", "{data}",
+                "--latent-d", "4", "--discrete-integration",
+                "--refit-lookahead",
+                "--checkpoint", "{out}/ckpt_mnpmf.pkl",
+                "--save-results", "{out}/results_mnpmf.pkl", "--no-verbose",
+            ],
+            # Makefile:68-76: active_pmf --discrete --refit-lookahead
+            "apmf": [
+                "amf_tpu.run.active_pmf", "--load-data", "{data}",
+                "--latent-d", "4", "--discrete-integration",
+                "--refit-lookahead",
+                "--checkpoint", "{out}/ckpt_apmf.pkl",
+                "--save-results", "{out}/results_apmf.pkl", "--no-verbose",
+            ],
+        },
+    )
+
+    # ---- MovieLens family: 100k / 75k / 58k-15d from-5% test-5%
+    # (results/movielens-{100k,75k,58k}-from5%.../Makefile). Same recipe,
+    # different source matrix + latent d; stan keys random pred-variance
+    # pred prob-ge-3.5 at s200/w100, 200 steps, --subtract-mean.
+    for name, src_mk, dataset, d in (
+        ("movielens-100k-from5pct-test5pct",
+         "results/movielens-100k-from5%-test5%/Makefile",
+         "movielens-100k", 20),
+        ("movielens-75k-from5pct-test5pct",
+         "results/movielens-75k-from5%-test5%/Makefile",
+         "movielens-75k", 20),
+        ("movielens-58k-from5pct-test5pct-15d",
+         "results/movielens-58k-from5%-test5%-15d/Makefile",
+         "movielens-58k", 15),
+    ):
+        runs = {
+            "stan": [
+                "amf_tpu.run.bpmf", "--load-data", "{data}",
+                "--latent-d", str(d), "--subtract-mean",
+                "--samps", "200", "--warmup", "100",
+                "--steps", "200", "--float32",
+                "--checkpoint", "{out}/ckpt_stan.pkl",
                 "--save-results", "{out}/results_stan.pkl", "--no-verbose",
                 "random", "pred-variance", "pred", "prob-ge-3.5",
             ],
             "bayes": [
                 "amf_tpu.run.bayes_pmf", "--load-data", "{data}",
-                "--latent-d", "2", "--samps", "128",
+                "--latent-d", str(d), "--subtract-mean",
+                "--samps", "128", "--steps", "200", "--float32",
+                "--checkpoint", "{out}/ckpt_bayes.pkl",
                 "--save-results", "{out}/results_bayes.pkl", "--no-verbose",
-                "random", "pred-variance", "pred",
-            ],
-            "rc": [
-                "amf_tpu.run.active_rc", "--load-data", "{data}",
-                "--save-results", "{out}/results_rc.pkl", "--no-verbose",
-                "random", "ge-4",
+                "random", "pred-variance",
             ],
             "mmmf": [
                 "amf_tpu.run.active_mmmf", "--load-data", "{data}",
-                "--cutoff", "3.5", "-C", "1",
+                "-C", "1", "--cutoff", "3.5", "--steps", "200",
                 "--save-results", "{out}/results_mmmf.pkl", "--no-verbose",
-                "random", "min-margin",
+            ],
+        }
+        if name.startswith("movielens-58k-from"):
+            # Makefile:62-73: mn_active_pmf 200 steps, refit-lookahead
+            runs["mnpmf"] = [
+                "amf_tpu.run.active_pmf", "--model", "mn",
+                "--load-data", "{data}",
+                "--latent-d", str(d), "--discrete-integration",
+                "--refit-lookahead", "--steps", "200", "--float32",
+                "--checkpoint", "{out}/ckpt_mnpmf.pkl",
+                "--save-results", "{out}/results_mnpmf.pkl", "--no-verbose",
+                "random", "pred-variance", "pred", "prob-ge-3.5",
+            ]
+        exps[name] = Experiment(
+            name=name,
+            source=src_mk,
+            data_cmd=[
+                "amf_tpu.run.choose_training", ("dataset", dataset), "{data}",
+                "--pick-known-frac", "0.05",
+                "--test-at-random", "--test-known-frac", "0.05",
+            ],
+            runs=runs,
+        )
+
+    # ---- MovieLens-58k new-movies cold start
+    # (results/movielens-58k-newmovies-10%-10d/Makefile:40-78): 10% new
+    # items, d=10, two-phase initfit (s200/w200) cached to .npz, then the
+    # newitems active loop (s200/w100, 200 steps) over new-item columns.
+    exps["movielens-58k-newmovies-10pct-10d"] = Experiment(
+        name="movielens-58k-newmovies-10pct-10d",
+        source="results/movielens-58k-newmovies-10%-10d/Makefile",
+        data_cmd=[
+            "amf_tpu.run.choose_training", ("dataset", "movielens-58k"),
+            "{data}",
+            "--new-item-frac", "0.1", "--pick-no-extras",
+            "--test-at-random", "--test-known-frac", "0.05",
+        ],
+        runs={
+            "stan_newitems": [
+                "amf_tpu.run.bpmf_newitems", "--load-data", "{data}",
+                "--latent-d", "10",
+                "--initial-fit-file", "{out}/initfit_s200w200.npz",
+                "--initial-fit-samps", "200",
+                "--samps", "200", "--warmup", "100",
+                "--steps", "200", "--float32",
+                "--save-results", "{out}/results_stan_newitems.pkl",
+                "--no-verbose",
+                "random", "pred-variance", "pred", "prob-ge-3.5",
             ],
         },
     )
 
-    ml = _ml100k_path()
-    if ml:
-        # results/movielens-100k-from5%-test5%/Makefile:32-58
-        exps["movielens-100k-from5pct-test5pct"] = Experiment(
-            name="movielens-100k-from5pct-test5pct",
-            source="results/movielens-100k-from5%-test5%/Makefile",
-            data_cmd=[
-                "amf_tpu.run.choose_training", ml, "{data}",
-                "--pick-known-frac", "0.05", "--test-known-frac", "0.05",
-            ],
-            runs={
-                "stan": [
-                    "amf_tpu.run.bpmf", "--load-data", "{data}",
-                    "--latent-d", "20", "--samps", "200", "--warmup", "100",
-                    "--steps", "200", "--float32",
-                    "--save-results", "{out}/results_stan.pkl", "--no-verbose",
-                    "random", "pred-variance", "pred", "prob-ge-3.5",
-                ],
-                "bayes": [
-                    "amf_tpu.run.bayes_pmf", "--load-data", "{data}",
-                    "--latent-d", "20", "--samps", "128", "--steps", "200",
-                    "--float32",
-                    "--save-results", "{out}/results_bayes.pkl", "--no-verbose",
-                    "random", "pred-variance",
-                ],
-            },
-        )
-
-    db = _drugbank_path()
-    if db:
-        # results/drugbank-94x425/Makefile:32,41-66: 500 drugbank-picked seeds,
-        # 2000 equal-class test cells, binary accuracy, d=20, 150 steps, C=1
-        exps["drugbank-94x425"] = Experiment(
-            name="drugbank-94x425",
-            source="results/drugbank-94x425/Makefile",
-            data_cmd=[
-                "amf_tpu.run.choose_training", db, "{data}",
-                "--drugbank", "--n-pick", "500",
-                "--test-equal-classes", "--n-test", "2000",
-            ],
-            runs={
-                "mmmf": [
-                    "amf_tpu.run.active_mmmf", "--load-data", "{data}",
-                    "-C", "1", "--steps", "150",
-                    "--save-results", "{out}/results_mmmf.pkl", "--no-verbose",
-                    "random", "min-margin", "min-margin-pos",
-                ],
-                "stan": [
-                    "amf_tpu.run.bpmf", "--load-data", "{data}",
-                    "--latent-d", "20", "--samps", "200", "--warmup", "100",
-                    "--steps", "150", "--float32",
-                    "--save-results", "{out}/results_stan.pkl", "--no-verbose",
-                    "random", "pred-variance", "prob-ge-0",
-                ],
-            },
-        )
-
-    # criteria-agreement micro-workload (results/criteria/.../Makefile:36-96)
-    exps["criteria_10x10_r1"] = Experiment(
-        name="criteria_10x10_r1",
-        source="results/criteria/10x10_r1_u10_v10_1/Makefile",
+    # ---- DrugBank 94x425 equal-class
+    # (results/drugbank-94x425/Makefile:32,41-66): 500 drugbank-picked seeds,
+    # 2000 equal-class test cells, binary accuracy, d=20, 150 steps, C=1
+    exps["drugbank-94x425"] = Experiment(
+        name="drugbank-94x425",
+        source="results/drugbank-94x425/Makefile",
         data_cmd=[
-            "amf_tpu.run.generate", "--rows", "10", "--cols", "10",
-            "--rank", "1", "--known-pos", "4", "--unknown-pos", "36",
+            "amf_tpu.run.choose_training", ("dataset", "drugbank-94x425"),
             "{data}",
+            "--drugbank", "--n-pick", "500",
+            "--test-equal-classes", "--n-test", "2000",
         ],
         runs={
-            "apmf": [
-                "amf_tpu.run.active_pmf", "--load-data", "{data}",
-                "--latent-d", "1", "--discrete-integration", "--steps", "2",
-                "--save-results", "{out}/results_apmf.pkl", "--no-verbose",
-                "pred-variance", "total-variance",
+            "mmmf": [
+                "amf_tpu.run.active_mmmf", "--load-data", "{data}",
+                "-C", "1", "--steps", "150",
+                "--save-results", "{out}/results_mmmf.pkl", "--no-verbose",
+                "random", "min-margin", "min-margin-pos",
             ],
             "stan": [
                 "amf_tpu.run.bpmf", "--load-data", "{data}",
-                "--latent-d", "1", "--samps", "100", "--steps", "2",
+                "--latent-d", "20", "--subtract-mean",
+                "--samps", "200", "--warmup", "100",
+                "--steps", "150", "--float32",
+                "--checkpoint", "{out}/ckpt_stan.pkl",
                 "--save-results", "{out}/results_stan.pkl", "--no-verbose",
-                "pred-variance",
+                "random", "pred-variance", "pred", "prob-ge-0",
             ],
+        },
+    )
+
+    # ---- DrugBank 94x425 with 2:1 negative:positive test classes
+    # (results/drugbank-94x425-5to1/Makefile:41-86): class-ratio test set
+    # {-1: .6666, 1: .3333}, n-test 1500; stan + mmmf at 200 steps.
+    exps["drugbank-94x425-5to1"] = Experiment(
+        name="drugbank-94x425-5to1",
+        source="results/drugbank-94x425-5to1/Makefile",
+        data_cmd=[
+            "amf_tpu.run.choose_training", ("dataset", "drugbank-94x425"),
+            "{data}",
+            "--drugbank", "--n-pick", "500",
+            "--test-class-ratios", "{-1: .6666, 1: .3333}",
+            "--n-test", "1500",
+        ],
+        runs={
+            "stan": [
+                "amf_tpu.run.bpmf", "--load-data", "{data}",
+                "--latent-d", "20", "--subtract-mean",
+                "--samps", "200", "--warmup", "100",
+                "--steps", "200", "--float32",
+                "--checkpoint", "{out}/ckpt_stan.pkl",
+                "--save-results", "{out}/results_stan.pkl", "--no-verbose",
+                "random", "pred-variance", "pred", "prob-ge-0",
+            ],
+            "mmmf": [
+                "amf_tpu.run.active_mmmf", "--load-data", "{data}",
+                "-C", "1", "--steps", "200",
+                "--save-results", "{out}/results_mmmf.pkl", "--no-verbose",
+            ],
+        },
+    )
+
+    # ---- criteria-agreement micro-workload
+    # (results/criteria/10x10_r1_u10_v10_1/Makefile:36-96). The reference
+    # directory commits its exact data.pkl (the gen.py target is stale);
+    # copy that artifact so criterion maps are computed on the same data.
+    exps["criteria_10x10_r1"] = Experiment(
+        name="criteria_10x10_r1",
+        source="results/criteria/10x10_r1_u10_v10_1/Makefile",
+        data_cmd=["COPY", ("dataset", "criteria-10x10-data"), "{data}"],
+        runs={
+            # Makefile:67-80: continuous integration, refit-lookahead, 2 steps
+            "apmf": [
+                "amf_tpu.run.active_pmf", "--load-data", "{data}",
+                "--latent-d", "1", "--continuous-integration",
+                "--refit-lookahead", "--steps", "2",
+                "--save-results", "{out}/results_apmf.pkl", "--no-verbose",
+                "pred-variance", "total-variance", "total-variance-approx",
+                "uv-entropy", "uv-entropy-approx",
+                "pred-entropy-bound", "pred-entropy-bound-approx",
+            ],
+            "mnpmf": [
+                "amf_tpu.run.active_pmf", "--model", "mn",
+                "--load-data", "{data}",
+                "--latent-d", "1", "--continuous-integration",
+                "--refit-lookahead", "--steps", "2",
+                "--save-results", "{out}/results_mnpmf.pkl", "--no-verbose",
+                "pred-variance", "total-variance", "total-variance-approx",
+                "uv-entropy", "uv-entropy-approx",
+            ],
+            # Makefile:37-53: continuous, s200/w100, lookahead s100/w50,
+            # 2 steps, model-init at the PMF MAP
+            "stan": [
+                "amf_tpu.run.bpmf", "--load-data", "{data}",
+                "--latent-d", "1", "--no-subtract-mean", "--test-set", "all",
+                "--samps", "200", "--warmup", "100",
+                "--lookahead-samps", "100", "--lookahead-warmup", "50",
+                "--model-init", "--steps", "2",
+                "--save-results", "{out}/results_stan.pkl", "--no-verbose",
+                "pred-variance", "exp-variance", "exp-entropy-est",
+            ],
+            # The Makefile also lists an rc target (:82-92), but the data's
+            # continuous values trip the reference's own hard error
+            # (evaluate_active.m:20-25 requires vals == 1:5 or 1:2), so the
+            # reference cannot run it either; omitted.
         },
     )
     return exps
@@ -185,6 +366,17 @@ def _git_rev() -> str:
         return "unknown"
 
 
+def _fill(tokens, data: str, out: str) -> List[str]:
+    """Resolve {data}/{out} templates and ('dataset', name) references."""
+    filled = []
+    for t in tokens:
+        if isinstance(t, tuple) and t[0] == "dataset":
+            filled.append(_dataset(t[1]))
+        else:
+            filled.append(t.format(data=data, out=out))
+    return filled
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("experiment", nargs="?", default=None)
@@ -192,15 +384,17 @@ def main(argv=None):
     parser.add_argument("--outdir", default="experiments")
     parser.add_argument("--only", nargs="*", default=None,
                         help="run only these result kinds")
+    parser.add_argument("--steps", type=int, default=None,
+                        help="override the step budget of every run")
     parser.add_argument("--force", action="store_true",
                         help="rerun even if the result file exists")
     args = parser.parse_args(argv)
 
     exps = catalog()
     if args.list or not args.experiment:
-        print(f"{'experiment':<40} reproduces")
+        print(f"{'experiment':<42} reproduces")
         for name, e in exps.items():
-            print(f"{name:<40} {e.source}")
+            print(f"{name:<42} {e.source}")
         return
     if args.experiment not in exps:
         sys.stderr.write(f"unknown experiment {args.experiment}\n")
@@ -211,31 +405,38 @@ def main(argv=None):
     os.makedirs(out, exist_ok=True)
     # choose_training saves via np.savez_compressed, which appends .npz to
     # any other suffix — name the file accordingly or it is never found
-    suffix = ".npz" if "choose_training" in exp.data_cmd[0] else ".pkl"
+    mod0 = exp.data_cmd[0]
+    suffix = ".npz" if "choose_training" in mod0 else ".pkl"
     data = os.path.join(out, "data" + suffix)
     rev = _git_rev()
 
-    def fill(tokens):
-        return [t.format(data=data, out=out) for t in tokens]
-
     if not os.path.exists(data):
-        cmd = fill(exp.data_cmd)
-        print("preparing data:", " ".join(cmd))
-        mod, *rest = cmd
-        subprocess.run([sys.executable, "-m", mod, *rest], check=True)
+        cmd = _fill(exp.data_cmd, data, out)
+        if cmd[0] == "COPY":
+            print(f"copying reference data: {cmd[1]} -> {cmd[2]}")
+            shutil.copyfile(cmd[1], cmd[2])
+        else:
+            print("preparing data:", " ".join(cmd))
+            mod, *rest = cmd
+            subprocess.run([sys.executable, "-m", mod, *rest], check=True)
     else:
         print(f"data exists: {data} (skipping prep)")
 
     for kind, run_cmd in exp.runs.items():
         if args.only and kind not in args.only:
             continue
-        cmd = fill(run_cmd)
+        cmd = _fill(run_cmd, data, out)
         result_path = next(
             (c for c in cmd if c.endswith(".pkl") and "results" in c), None
         )
         if result_path and os.path.exists(result_path) and not args.force:
             print(f"[{kind}] exists: {result_path} (skipping; --force to rerun)")
             continue
+        if args.steps is not None:
+            if "--steps" in cmd:
+                cmd[cmd.index("--steps") + 1] = str(args.steps)
+            else:
+                cmd = cmd[:1] + ["--steps", str(args.steps)] + cmd[1:]
         cmd = cmd + ["--note", f"git-rev:{rev}", "--note", f"experiment:{exp.name}"]
         print(f"[{kind}] running:", " ".join(cmd))
         mod, *rest = cmd
