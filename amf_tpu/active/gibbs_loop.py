@@ -17,7 +17,6 @@ import numpy as np
 from amf_tpu.analysis import metrics
 from amf_tpu.models import bpmf_gibbs, pmf
 from amf_tpu.types import Problem, rating_bounds, ratings_array
-from amf_tpu.utils.rng import fold_in_name
 
 
 class GibbsKey(NamedTuple):
@@ -86,6 +85,7 @@ def run_active_gibbs(
     seed: int = 0,
     fit_type: tuple = ("batch",),
     pcfg: Optional[pmf.PMFConfig] = None,
+    mesh=None,  # jax.sharding.Mesh: shard lookahead candidates over devices
     dtype=jnp.float64,
     verbose: bool = False,
     checkpoint_path: Optional[str] = None,
@@ -139,13 +139,33 @@ def run_active_gibbs(
         )
         return pst, stats
 
-    lookahead_fn = jax.jit(
-        lambda k, pst, prob, stats: bpmf_gibbs.exp_variance_scores(
-            k, pst, prob, pcfg, gcfg, stats, vals,
-            num_samps=lookahead_samps, n_base_samples=num_samps,
-            candidate_tile=lookahead_tile,
-        ).reshape(n, m)
-    ) if vals else None
+    if not vals:
+        lookahead_fn = None
+    elif mesh is not None:
+        # candidates sharded over the mesh (the reference's pool.map hot
+        # loop, bayes_pmf.py:514-519); per-lane PRNG streams are global-index
+        # derived so this matches the unsharded path to tolerance
+        from amf_tpu.parallel.sharding import sharded_candidate_scores
+
+        @jax.jit
+        def lookahead_fn(k, pst, prob, stats):
+            def score_flat(cand, kk):
+                return bpmf_gibbs.exp_variance_scores(
+                    kk, pst, prob, pcfg, gcfg, stats, vals,
+                    num_samps=lookahead_samps, n_base_samples=num_samps,
+                    cand=cand, candidate_tile=lookahead_tile,
+                )
+
+            run = sharded_candidate_scores(score_flat, n * m, mesh)
+            return run(k).reshape(n, m)
+    else:
+        lookahead_fn = jax.jit(
+            lambda k, pst, prob, stats: bpmf_gibbs.exp_variance_scores(
+                k, pst, prob, pcfg, gcfg, stats, vals,
+                num_samps=lookahead_samps, n_base_samples=num_samps,
+                candidate_tile=lookahead_tile,
+            ).reshape(n, m)
+        )
 
     pst0, stats0 = fit_and_sample(problem, kinit)
 
@@ -173,55 +193,23 @@ def run_active_gibbs(
             raise ValueError(spec.kind)
         return jnp.where(prob.queryable, ev, jnp.nan)
 
+    from amf_tpu.active.driver import Family, drive_active
     from amf_tpu.utils.checkpoint import LoopCheckpointer
 
     ckpt = LoopCheckpointer.for_problem(
         checkpoint_path, problem, real, every=checkpoint_every
     )
 
-    for kname in key_names:
-        spec = KEYS[kname]
-        prob_k, pst_k, stats_k = problem, pst0, stats0
-        kloop = fold_in_name(key, kname)
-        max_steps = steps if steps is not None else n * m
-        prob_k, records, will_run = ckpt.resume(kname, prob_k, real, max_steps)
-        if records:
-            if will_run:  # skip the refit when the criterion already finished
-                kr = jax.random.fold_in(kloop, 2**20 + len(records))
-                pst_k, stats_k = refit_and_sample(pst_k, prob_k, kr)
-            if verbose:
-                print(f"{spec.nice_name}: resumed at step {len(records) - 1}")
-        else:
-            rmse0 = float(metrics.rmse_on(stats_k.mean, real_j, prob_k.test))
-            records = [(int(prob_k.n_rated), rmse0, None, None)]
-
-        while bool(prob_k.queryable.any()) and len(records) < max_steps:
-            # step-indexed keys (see loop.py): resume-safe stream
-            kstep = jax.random.fold_in(kloop, len(records))
-            kev, ksamp = jax.random.split(kstep)
-            if int(prob_k.queryable.sum()) == 1:
-                ii, jj = np.nonzero(np.asarray(prob_k.queryable))
-                i, j = int(ii[0]), int(jj[0])
-                evals = None
-            else:
-                ev = evals_for(kname, pst_k, stats_k, prob_k, kev)
-                masked = jnp.where(
-                    prob_k.queryable, ev, -jnp.inf if spec.choose_max else jnp.inf
-                )
-                flat = int(jnp.argmax(masked) if spec.choose_max else jnp.argmin(masked))
-                i, j = flat // m, flat % m
-                evals = np.asarray(ev)
-
-            prob_k = prob_k.add_rating(i, j, float(real[i, j]))
-            pst_k, stats_k = refit_and_sample(pst_k, prob_k, ksamp)
-            err = float(metrics.rmse_on(stats_k.mean, real_j, prob_k.test))
-            records.append((int(prob_k.n_rated), err, (i, j), evals))
-            ckpt.update(kname, records)
-            if verbose:
-                print(f"{spec.nice_name:<20} step {len(records)-1}: "
-                      f"({i},{j}) rmse {err:.5f}")
-
-        ckpt.update(kname, records, force=True)
-        results[kname] = records
-
+    family = Family(
+        nice_name=lambda kname: KEYS[kname].nice_name,
+        score=lambda kname, st, prob, k: (
+            evals_for(kname, st[0], st[1], prob, k), KEYS[kname].choose_max
+        ),
+        refit=lambda st, prob, k: refit_and_sample(st[0], prob, k),
+        err=lambda st, prob: metrics.rmse_on(st[1].mean, real_j, prob.test),
+    )
+    results.update(
+        drive_active(problem, real, key_names, family, (pst0, stats0), key,
+                     steps=steps, ckpt=ckpt, verbose=verbose)
+    )
     return results

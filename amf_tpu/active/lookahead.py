@@ -26,6 +26,7 @@ from amf_tpu.active.criteria import Criterion
 from amf_tpu.models import mnormal, pmf, vnormal
 from amf_tpu.ops import quadrature
 from amf_tpu.types import Problem, rating_bounds
+from amf_tpu.utils.rng import lane_keys
 
 
 class LookaheadConfig(NamedTuple):
@@ -187,9 +188,7 @@ def lookahead_scores(
         return stat(pst, ast, prob2, v)
 
     n_vals = vals_c.shape[1]
-    keys = jax.random.split(key, cand.shape[0] * n_vals).reshape(
-        cand.shape[0], n_vals, -1
-    )
+    keys = lane_keys(key, cand, n_vals)  # shard/tile-invariant streams
 
     eval_tile = jax.vmap(
         lambda i, j, vs, ks: jax.vmap(lambda v, k: eval_one(i, j, v, k))(vs, ks)

@@ -14,7 +14,6 @@ immutable pytrees, so "deepcopy per criterion" is free.
 
 from __future__ import annotations
 
-import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -26,22 +25,6 @@ from amf_tpu.active import lookahead as lookahead_mod
 from amf_tpu.analysis import metrics
 from amf_tpu.models import mnormal, pmf, vnormal
 from amf_tpu.types import Problem, ratings_array
-from amf_tpu.utils.rng import fold_in_name
-
-
-def _pick(evals: jax.Array, queryable: jax.Array, maximize: bool):
-    """argmax/argmin over the queryable pool (reference chooser semantics,
-    active_pmf.py:729-737)."""
-    if maximize:
-        masked = jnp.where(queryable, evals, -jnp.inf)
-        flat = jnp.argmax(masked)
-    else:
-        masked = jnp.where(queryable, evals, jnp.inf)
-        flat = jnp.argmin(masked)
-    m = evals.shape[1]
-    return flat // m, flat % m
-
-
 def run_active_pmf(
     problem: Problem,
     real: np.ndarray,
@@ -190,68 +173,24 @@ def run_active_pmf(
             score_fns[crit.name] = fn
         return score_fns[crit.name]
 
+    from amf_tpu.active.driver import Family, drive_active
     from amf_tpu.utils.checkpoint import LoopCheckpointer
 
     ckpt = LoopCheckpointer.for_problem(
         checkpoint_path, problem, real, every=checkpoint_every
     )
 
-    # ---- per-criterion loops (reference: full_test :796-850)
-    for key_name in key_names:
-        crit = registry[key_name]
-        score_fn = get_score_fn(crit)
-        prob_k = problem
-        pst_k, ast_k = pst, ast
-        kloop = fold_in_name(key, key_name)
-
-        # resume from a partial checkpoint by replaying recorded picks
-        # (reference analogue: partial_results saving, SURVEY.md §5.4)
-        max_steps = steps if steps is not None else n * m
-        prob_k, records, will_run = ckpt.resume(key_name, prob_k, real, max_steps)
-        if records:
-            # per-step keys derive from the step index (below), so resumed
-            # runs continue the exact key sequence; only the refit needs one
-            if will_run:  # skip the refit when the criterion already finished
-                krefit = jax.random.fold_in(kloop, 2**20 + len(records))
-                pst_k, ast_k = refit(pst_k, ast_k, prob_k, krefit)
-            if verbose:
-                print(f"{crit.nice_name}: resumed at step {len(records) - 1}")
-        else:
-            rmse0 = float(test_rmse(pst_k, prob_k))
-            records = [(int(prob_k.n_rated), rmse0, None, None)]
-        t0 = time.time()
-
-        while bool(prob_k.queryable.any()) and len(records) < max_steps:
-            # step-indexed keys: resume at step k reproduces the key stream
-            # the uninterrupted run would have used (no split-chain prefix
-            # reuse across resumes)
-            kstep = jax.random.fold_in(kloop, len(records))
-            kscore, krefit = jax.random.split(kstep)
-            if int(prob_k.queryable.sum()) == 1:
-                ii, jj = np.nonzero(np.asarray(prob_k.queryable))
-                i, j = int(ii[0]), int(jj[0])
-                evals = None
-            else:
-                evals = score_fn(pst_k, ast_k, prob_k, kscore)
-                i, j = _pick(evals, prob_k.queryable, crit.maximize)
-                i, j = int(i), int(j)
-                evals = np.asarray(evals)
-
-            prob_k = prob_k.add_rating(i, j, float(real[i, j]))
-            pst_k, ast_k = refit(pst_k, ast_k, prob_k, krefit)
-            err = float(test_rmse(pst_k, prob_k))
-            records.append((int(prob_k.n_rated), err, (i, j), evals))
-            ckpt.update(key_name, records)
-            if verbose:
-                print(
-                    f"{crit.nice_name:<36} step {len(records) - 1}: "
-                    f"picked ({i},{j}), rmse {err:.5f}"
-                )
-
-        ckpt.update(key_name, records, force=True)
-        results[key_name] = records
-        if verbose:
-            print(f"{crit.nice_name}: {len(records) - 1} steps in "
-                  f"{time.time() - t0:.1f}s")
-
+    family = Family(
+        nice_name=lambda kname: registry[kname].nice_name,
+        score=lambda kname, st, prob, k: (
+            get_score_fn(registry[kname])(st[0], st[1], prob, k),
+            registry[kname].maximize,
+        ),
+        refit=lambda st, prob, k: refit(st[0], st[1], prob, k),
+        err=lambda st, prob: test_rmse(st[0], prob),
+    )
+    results.update(
+        drive_active(problem, real, key_names, family, (pst, ast), key,
+                     steps=steps, ckpt=ckpt, verbose=verbose)
+    )
     return results

@@ -17,7 +17,6 @@ import numpy as np
 
 from amf_tpu.models import mmmf
 from amf_tpu.types import Problem
-from amf_tpu.utils.rng import fold_in_name
 
 
 def binarize(real: np.ndarray, cutoff: Optional[float]) -> np.ndarray:
@@ -45,6 +44,8 @@ def run_active_mmmf(
     dtype=jnp.float64,
     keep_predictions: bool = False,
     verbose: bool = False,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 20,
 ) -> Dict[str, object]:
     for k in key_names:
         if k not in mmmf.MMMF_KEYS:
@@ -73,51 +74,26 @@ def run_active_mmmf(
         "_rating_vals": (-1.0, 1.0),
     }
 
-    for kname in key_names:
-        prob_k = problem
-        st_k = st0
-        kloop = fold_in_name(key, kname)
-        records: List[tuple] = [
-            (
-                int(prob_k.n_rated),
-                float(misclass(st_k.X, prob_k.test)),
-                None,
-                None,
-            )
-            + ((np.asarray(st_k.X),) if keep_predictions else ())
-        ]
-        max_steps = steps if steps is not None else n * m
+    from amf_tpu.active.driver import Family, drive_active
+    from amf_tpu.utils.checkpoint import LoopCheckpointer
 
-        while bool(prob_k.queryable.any()) and len(records) < max_steps:
-            kloop, kev = jax.random.split(kloop)
-            if int(prob_k.queryable.sum()) == 1:
-                ii, jj = np.nonzero(np.asarray(prob_k.queryable))
-                i, j = int(ii[0]), int(jj[0])
-                evals = None
-            else:
-                ev, choose_max = mmmf.selector_evals(
-                    kname, st_k.X, prob_k.queryable, kev
-                )
-                masked = jnp.where(
-                    prob_k.queryable & jnp.isfinite(ev),
-                    ev,
-                    -jnp.inf if choose_max else jnp.inf,
-                )
-                flat = int(jnp.argmax(masked) if choose_max else jnp.argmin(masked))
-                i, j = flat // m, flat % m
-                evals = np.asarray(ev)
+    # reference analogue: partial_results.mat saved every 20 steps mid-run
+    # (mmmf/evaluate_active.m:84-86)
+    ckpt = LoopCheckpointer.for_problem(
+        checkpoint_path, problem, y_real, every=checkpoint_every
+    )
 
-            prob_k = prob_k.add_rating(i, j, float(y_real[i, j]))
-            st_k, iters = solve_for(prob_k.rated, st_k)  # warm start
-            err = float(misclass(st_k.X, prob_k.test))
-            rec = (int(prob_k.n_rated), err, (i, j), evals)
-            if keep_predictions:
-                rec = rec + (np.asarray(st_k.X),)
-            records.append(rec)
-            if verbose:
-                print(f"{kname:<16} step {len(records)-1}: ({i},{j}) "
-                      f"misclass {err:.4f} (admm iters {int(iters)})")
-
-        results[kname] = records
-
+    family = Family(
+        nice_name=lambda kname: kname,
+        score=lambda kname, st, prob, k: mmmf.selector_evals(
+            kname, st.X, prob.queryable, k
+        ),
+        refit=lambda st, prob, k: solve_for(prob.rated, st)[0],  # warm start
+        err=lambda st, prob: misclass(st.X, prob.test),
+        extra=(lambda st: (np.asarray(st.X),)) if keep_predictions else None,
+    )
+    results.update(
+        drive_active(problem, y_real, key_names, family, st0, key,
+                     steps=steps, ckpt=ckpt, verbose=verbose)
+    )
     return results

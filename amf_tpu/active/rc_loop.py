@@ -16,7 +16,6 @@ import numpy as np
 
 from amf_tpu.models import ratingconc as rc
 from amf_tpu.types import Problem
-from amf_tpu.utils.rng import fold_in_name
 
 
 def run_active_rc(
@@ -31,8 +30,11 @@ def run_active_rc(
     lookahead_iters: int = 60,
     lookahead_tile: int = 0,
     max_iters: int = 500,
+    mesh=None,  # jax.sharding.Mesh: shard lookahead candidates over devices
     dtype=jnp.float64,
     verbose: bool = False,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 20,
 ) -> Dict[str, object]:
     for k in key_names:
         if k not in rc.RC_KEYS:
@@ -52,12 +54,30 @@ def run_active_rc(
     knowable = jnp.asarray(np.isfinite(real) & (np.asarray(real) != 0))
 
     fit_fn = jax.jit(lambda prob, warm: rc.fit(prob, cfg, warmstart=warm, dtype=dtype))
-    lookahead_fn = jax.jit(
-        lambda x, data, prob: rc.entropy_lookahead_scores(
-            x, data, prob, cfg, lookahead_iters=lookahead_iters, dtype=dtype,
-            candidate_tile=lookahead_tile,
-        ).reshape(n, m)
-    )
+    if mesh is not None:
+        # candidates sharded over the mesh (the reference refits the full
+        # maxent model per candidate per value in a MATLAB loop,
+        # select_1step_lowest_entropy.m:25-28); the scorer is deterministic,
+        # so sharded == unsharded up to XLA fusion tolerance
+        from amf_tpu.parallel.sharding import sharded_candidate_scores
+
+        @jax.jit
+        def lookahead_fn(x, data, prob):
+            def score_flat(cand, _k):
+                return rc.entropy_lookahead_scores(
+                    x, data, prob, cfg, lookahead_iters=lookahead_iters,
+                    dtype=dtype, cand=cand, candidate_tile=lookahead_tile,
+                )
+
+            run = sharded_candidate_scores(score_flat, n * m, mesh)
+            return run(jax.random.PRNGKey(0)).reshape(n, m)
+    else:
+        lookahead_fn = jax.jit(
+            lambda x, data, prob: rc.entropy_lookahead_scores(
+                x, data, prob, cfg, lookahead_iters=lookahead_iters, dtype=dtype,
+                candidate_tile=lookahead_tile,
+            ).reshape(n, m)
+        )
 
     @jax.jit
     def rmse_of(x, data, prob):
@@ -78,52 +98,39 @@ def run_active_rc(
         "_rating_vals": tuple(float(v) for v in vals),
     }
 
-    for kname in key_names:
-        nice, cutoff = rc.RC_KEYS[kname]
-        prob_k, x_k, data_k = problem, x0, data0
-        kloop = fold_in_name(key, kname)
-        records: List[tuple] = [
-            (int(prob_k.n_rated), float(rmse_of(x_k, data_k, prob_k)), None, None)
-        ]
-        max_steps = steps if steps is not None else n * m
+    def score(kname, st, prob, k):
+        x, data = st
+        _, cutoff = rc.RC_KEYS[kname]
+        if kname == "random":
+            ev = jax.random.uniform(k, (n, m), dtype=dtype)
+            choose_max = True
+        elif kname == "entropy":
+            ev = lookahead_fn(x, data, prob)
+            choose_max = False
+        else:  # ge-cutoff (select_ge_cutoff.m)
+            P = rc.cell_probs(x, data, data.qmask)
+            ev = jnp.sum(P * (vals_arr >= cutoff)[None, None, :], axis=-1)
+            choose_max = True
+        return jnp.where(prob.queryable, ev, jnp.nan), choose_max
 
-        while bool(prob_k.queryable.any()) and len(records) < max_steps:
-            kloop, kev = jax.random.split(kloop)
-            if int(prob_k.queryable.sum()) == 1:
-                ii, jj = np.nonzero(np.asarray(prob_k.queryable))
-                i, j = int(ii[0]), int(jj[0])
-                evals = None
-                choose_max = True
-            elif kname == "random":
-                ev = jax.random.uniform(kev, (n, m), dtype=dtype)
-                ev = jnp.where(prob_k.queryable, ev, jnp.nan)
-                choose_max = True
-                flat = int(jnp.argmax(jnp.where(prob_k.queryable, ev, -jnp.inf)))
-                i, j = flat // m, flat % m
-                evals = np.asarray(ev)
-            elif kname == "entropy":
-                ev = lookahead_fn(x_k, data_k, prob_k)
-                flat = int(jnp.argmin(jnp.where(prob_k.queryable, ev, jnp.inf)))
-                i, j = flat // m, flat % m
-                evals = np.asarray(ev)
-            else:  # ge-cutoff (select_ge_cutoff.m)
-                P = rc.cell_probs(x_k, data_k, data_k.qmask)
-                probs = jnp.sum(
-                    P * (vals_arr >= cutoff)[None, None, :], axis=-1
-                )
-                ev = jnp.where(prob_k.queryable, probs, jnp.nan)
-                flat = int(jnp.argmax(jnp.where(prob_k.queryable, ev, -jnp.inf)))
-                i, j = flat // m, flat % m
-                evals = np.asarray(ev)
+    from amf_tpu.active.driver import Family, drive_active
+    from amf_tpu.utils.checkpoint import LoopCheckpointer
 
-            prob_k = prob_k.add_rating(i, j, float(real[i, j]))
-            x_k, data_k, _ = fit_fn(prob_k, x_k)  # warm-started refit
-            err = float(rmse_of(x_k, data_k, prob_k))
-            records.append((int(prob_k.n_rated), err, (i, j), evals))
-            if verbose:
-                print(f"{nice:<20} step {len(records)-1}: ({i},{j}) "
-                      f"rmse {err:.5f}")
+    # reference analogue: the MATLAB loops keep partial results / warm-started
+    # multipliers across steps (evaluate_active.m:71-72); checkpointing makes
+    # a crashed sweep resumable by pick replay, like the other families
+    ckpt = LoopCheckpointer.for_problem(
+        checkpoint_path, problem, real, every=checkpoint_every
+    )
 
-        results[kname] = records
-
+    family = Family(
+        nice_name=lambda kname: rc.RC_KEYS[kname][0],
+        score=score,
+        refit=lambda st, prob, k: fit_fn(prob, st[0])[:2],  # warm-started
+        err=lambda st, prob: rmse_of(st[0], st[1], prob),
+    )
+    results.update(
+        drive_active(problem, real, key_names, family, (x0, data0), key,
+                     steps=steps, ckpt=ckpt, verbose=verbose)
+    )
     return results

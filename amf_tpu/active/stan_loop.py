@@ -17,7 +17,6 @@ import numpy as np
 from amf_tpu.analysis import metrics
 from amf_tpu.models import bpmf_hmc, pmf, sample_stats
 from amf_tpu.types import Problem, rating_bounds, ratings_array
-from amf_tpu.utils.rng import fold_in_name
 
 
 class StanKey(NamedTuple):
@@ -60,6 +59,7 @@ def run_active_stan(
     model_init_map: bool = True,
     binary_acc: bool = False,
     cfg: Optional[bpmf_hmc.HMCConfig] = None,
+    mesh=None,  # jax.sharding.Mesh: shard lookahead candidates over devices
     dtype=jnp.float64,
     verbose: bool = False,
     checkpoint_path: Optional[str] = None,
@@ -110,6 +110,26 @@ def run_active_stan(
     )
 
     def lookahead_fn_factory(stat):
+        if mesh is not None:
+            # candidates sharded over the mesh (the reference's pool.map hot
+            # loop, stan-bpmf/bpmf.py:456-459); global-index lane keys keep
+            # this equal to the unsharded path to tolerance
+            from amf_tpu.parallel.sharding import sharded_candidate_scores
+
+            @jax.jit
+            def fn(k, st, prob, base):
+                def score_flat(cand, kk):
+                    return bpmf_hmc.lookahead_scores(
+                        kk, st, prob, cfg, base, vals, stat=stat,
+                        num_samps=lookahead_samps, warmup=lookahead_warmup,
+                        n_base_samples=num_samps, cand=cand,
+                        candidate_tile=lookahead_tile,
+                    )
+
+                run = sharded_candidate_scores(score_flat, n * m, mesh)
+                return run(k).reshape(n, m)
+
+            return fn
         return jax.jit(
             lambda k, st, prob, base: bpmf_hmc.lookahead_scores(
                 k, st, prob, cfg, base, vals, stat=stat,
@@ -157,62 +177,29 @@ def run_active_stan(
             raise ValueError(spec.kind)
         return jnp.where(prob.queryable, ev, jnp.nan)
 
+    from amf_tpu.active.driver import Family, drive_active
     from amf_tpu.utils.checkpoint import LoopCheckpointer
 
     ckpt = LoopCheckpointer.for_problem(
         checkpoint_path, problem, real, every=checkpoint_every
     )
 
-    for kname in key_names:
-        spec = KEYS[kname]
-        prob_k, st_k, stats_k = problem, st0, stats0
-        kloop = fold_in_name(key, kname)
-        max_steps = steps if steps is not None else n * m
-        prob_k, records, will_run = ckpt.resume(kname, prob_k, real, max_steps)
-        if records:
-            if will_run:  # skip the refit when the criterion already finished
-                kr = jax.random.fold_in(kloop, 2**20 + len(records))
-                st_k = bpmf_hmc.invalidate_mode(st_k, prob_k)
-                st_k, samps = sample_fn(kr, st_k, prob_k)
-                stats_k = stats_fn(samps, st_k.mean_rating)
-            if verbose:
-                print(f"{spec.nice_name}: resumed at step {len(records) - 1}")
-        else:
-            records = [
-                (int(prob_k.n_rated), err_of(stats_k, prob_k), None, None)
-            ]
+    def refit(st_pair, prob, k):
+        st, _ = st_pair
+        st = bpmf_hmc.invalidate_mode(st, prob)
+        st, samps = sample_fn(k, st, prob)
+        return st, stats_fn(samps, st.mean_rating)
 
-        while bool(prob_k.queryable.any()) and len(records) < max_steps:
-            # step-indexed keys (see loop.py): resume-safe stream
-            kstep = jax.random.fold_in(kloop, len(records))
-            kev, ksamp = jax.random.split(kstep)
-            if int(prob_k.queryable.sum()) == 1:
-                ii, jj = np.nonzero(np.asarray(prob_k.queryable))
-                i, j = int(ii[0]), int(jj[0])
-                evals = None
-            else:
-                ev = evals_for(kname, st_k, stats_k, prob_k, kev)
-                masked = jnp.where(
-                    prob_k.queryable, ev, -jnp.inf if spec.choose_max else jnp.inf
-                )
-                flat = int(
-                    jnp.argmax(masked) if spec.choose_max else jnp.argmin(masked)
-                )
-                i, j = flat // m, flat % m
-                evals = np.asarray(ev)
-
-            prob_k = prob_k.add_rating(i, j, float(real[i, j]))
-            st_k = bpmf_hmc.invalidate_mode(st_k, prob_k)
-            st_k, samps = sample_fn(ksamp, st_k, prob_k)
-            stats_k = stats_fn(samps, st_k.mean_rating)
-            err = err_of(stats_k, prob_k)
-            records.append((int(prob_k.n_rated), err, (i, j), evals))
-            ckpt.update(kname, records)
-            if verbose:
-                print(f"{spec.nice_name:<20} step {len(records)-1}: "
-                      f"({i},{j}) err {err:.5f}")
-
-        ckpt.update(kname, records, force=True)
-        results[kname] = records
-
+    family = Family(
+        nice_name=lambda kname: KEYS[kname].nice_name,
+        score=lambda kname, st, prob, k: (
+            evals_for(kname, st[0], st[1], prob, k), KEYS[kname].choose_max
+        ),
+        refit=refit,
+        err=lambda st, prob: err_of(st[1], prob),
+    )
+    results.update(
+        drive_active(problem, real, key_names, family, (st0, stats0), key,
+                     steps=steps, ckpt=ckpt, verbose=verbose)
+    )
     return results

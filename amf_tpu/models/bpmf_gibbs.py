@@ -36,6 +36,7 @@ from flax import struct
 
 from amf_tpu.models import pmf
 from amf_tpu.types import Problem, rating_bounds
+from amf_tpu.utils.rng import lane_keys
 
 
 class GibbsConfig(NamedTuple):
@@ -315,9 +316,7 @@ def exp_variance_scores(
         # total_variance with the default which=Ellipsis (bayes_pmf.py:565-569)
         return jnp.sum(stats.var)
 
-    keys = jax.random.split(key, cand.shape[0] * n_vals).reshape(
-        cand.shape[0], n_vals, -1
-    )
+    keys = lane_keys(key, cand, n_vals)  # shard/tile-invariant streams
     eval_tile = jax.vmap(
         lambda i, j, ks: jax.vmap(lambda v, k: eval_one(i, j, v, k))(values, ks)
     )

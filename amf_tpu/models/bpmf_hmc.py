@@ -30,6 +30,7 @@ from flax import struct
 from amf_tpu.mcmc import nuts
 from amf_tpu.models import pmf
 from amf_tpu.types import Problem
+from amf_tpu.utils.rng import lane_keys
 
 
 class HMCConfig(NamedTuple):
@@ -317,9 +318,7 @@ def lookahead_scores(
         )
         return jnp.sum(stats.var)
 
-    keys = jax.random.split(key, cand.shape[0] * n_vals).reshape(
-        cand.shape[0], n_vals, -1
-    )
+    keys = lane_keys(key, cand, n_vals)  # shard/tile-invariant streams
     eval_tile = jax.vmap(
         lambda i, j, ks: jax.vmap(lambda v, k: eval_one(i, j, v, k))(values, ks)
     )

@@ -89,7 +89,31 @@ def run_dryrun(n_devices: int) -> None:
     assert np.isfinite(scores_np[queryable]).all()
     assert np.isnan(scores_np[~queryable]).all()
     assert np.isfinite(np.asarray(pred)).all()
+
+    # --- sampler-family sharded step: Gibbs exp-variance lookahead (the
+    # reference's MCMC-per-candidate hot loop, bayes_pmf.py:514-519,560-598)
+    from amf_tpu.models import bpmf_gibbs
+
+    gcfg = bpmf_gibbs.GibbsConfig(latent_d=2)
+    _, gstats, _ = bpmf_gibbs.run_chain(
+        jax.random.fold_in(key, 3), bpmf_gibbs.init_chain(pst), prob, gcfg,
+        8, value_bounds=tuple(types.rating_bounds(vals)),
+    )
+
+    def gibbs_flat(cand, k):
+        return bpmf_gibbs.exp_variance_scores(
+            k, pst, prob, pcfg, gcfg, gstats, vals,
+            num_samps=4, fit_budget=10, cand=cand, n_base_samples=8,
+        )
+
+    gibbs_scores = jax.jit(
+        sharded_candidate_scores(gibbs_flat, n * m, mesh)
+    )(jax.random.fold_in(key, 4))
+    gs = np.asarray(gibbs_scores)
+    assert np.isfinite(gs[queryable]).all()
+    assert np.isnan(gs[~queryable]).all()
+
     print(
-        f"dryrun_multichip ok: {n_devices} devices, full lookahead step, "
-        f"picked cell ({flat // m}, {flat % m})"
+        f"dryrun_multichip ok: {n_devices} devices, full vn lookahead step + "
+        f"sharded Gibbs exp-variance, picked cell ({flat // m}, {flat % m})"
     )

@@ -44,12 +44,16 @@ def sharded_candidate_scores(
         mesh=mesh,
         in_specs=(P(axis_name), P()),
         out_specs=P(axis_name),
+        # the scorers are free to scan from unvarying zero carries (e.g. the
+        # Gibbs streaming-stat accumulators); the varying-manual-axes check
+        # would reject those even though every lane is genuinely independent
+        check_vma=False,
     )
     def score_shard(cand, key):
-        # fold the shard's first candidate index into the key so random
-        # criteria stay distinct across shards
-        local_key = jax.random.fold_in(key, cand[0])
-        return score_flat_fn(cand, local_key)
+        # the same key goes to every shard: per-lane streams are derived from
+        # GLOBAL candidate indices inside the scorers (utils/rng.lane_keys),
+        # so sharded and unsharded runs produce bitwise-identical scores
+        return score_flat_fn(cand, key)
 
     def run(key):
         cand = jnp.arange(total, dtype=jnp.int32)

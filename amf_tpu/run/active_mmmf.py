@@ -29,6 +29,10 @@ def main(argv=None):
     parser.add_argument("--admm-iters", type=int, default=2000)
     parser.add_argument("--keep-predictions", action="store_true",
                         help="store the learned X per step like the reference")
+    parser.add_argument("--checkpoint", default=None, metavar="FILE",
+                        help="partial-results checkpoint for exact resume "
+                             "(reference: partial_results.mat every 20 steps, "
+                             "mmmf/evaluate_active.m:84-86)")
     parser.add_argument("--verbose", action="store_true", default=True)
     parser.add_argument("--no-verbose", action="store_false", dest="verbose")
     parser.add_argument("--load-data", required=True, metavar="FILE")
@@ -84,6 +88,7 @@ def main(argv=None):
         cfg=MMMFConfig(C=args.C, max_iters=args.admm_iters),
         dtype=dtype, keep_predictions=args.keep_predictions,
         verbose=args.verbose,
+        checkpoint_path=args.checkpoint,
     )
 
     if args.save_results:

@@ -30,6 +30,11 @@ def main(argv=None):
     parser.add_argument("--lookahead-iters", type=int, default=60)
     parser.add_argument("--lookahead-tile", type=int, default=256,
                         help="candidates per vmapped lookahead pass (memory bound)")
+    parser.add_argument("--shard-candidates", type=int, default=0,
+                        metavar="N_DEVICES",
+                        help="shard lookahead candidates over an N-device mesh")
+    parser.add_argument("--checkpoint", default=None, metavar="FILE",
+                        help="partial-results checkpoint for exact resume")
     parser.add_argument("--any-vals", action="store_true", default=False,
                         help="allow value sets beyond the reference's 1:5/1:2")
     parser.add_argument("--verbose", action="store_true", default=True)
@@ -102,6 +107,12 @@ def main(argv=None):
         )
         sys.exit(1)
 
+    mesh = None
+    if args.shard_candidates:
+        from amf_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.shard_candidates)
+
     results = run_active_rc(
         problem, real, key_names,
         delta=args.delta,
@@ -111,7 +122,9 @@ def main(argv=None):
         lookahead_iters=args.lookahead_iters,
         lookahead_tile=args.lookahead_tile,
         max_iters=args.max_iters,
+        mesh=mesh,
         dtype=dtype, verbose=args.verbose,
+        checkpoint_path=args.checkpoint,
     )
 
     if args.save_results:

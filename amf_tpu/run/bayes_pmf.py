@@ -32,6 +32,9 @@ def main(argv=None):
     parser.add_argument("--lookahead-samps", type=int, default=30)
     parser.add_argument("--lookahead-tile", type=int, default=256,
                         help="candidates per vmapped lookahead pass (memory bound)")
+    parser.add_argument("--shard-candidates", type=int, default=0,
+                        metavar="N_DEVICES",
+                        help="shard lookahead candidates over an N-device mesh")
     parser.add_argument("--test-set", default="all")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--float32", action="store_true")
@@ -96,6 +99,12 @@ def main(argv=None):
     problem = types.problem_from_ratings(ratings, real=real, test=test_on, dtype=dtype)
     problem = problem.replace(queryable=jnp.asarray(query_on))
 
+    mesh = None
+    if args.shard_candidates:
+        from amf_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.shard_candidates)
+
     results = run_active_gibbs(
         problem, real, key_names,
         latent_d=args.latent_d,
@@ -104,6 +113,7 @@ def main(argv=None):
         num_samps=args.samps,
         lookahead_samps=args.lookahead_samps,
         lookahead_tile=args.lookahead_tile,
+        mesh=mesh,
         steps=args.steps,
         seed=args.seed,
         fit_type=parse_fit_type(args.fit),

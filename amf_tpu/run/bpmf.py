@@ -29,6 +29,9 @@ def main(argv=None):
     parser.add_argument("--lookahead-warmup", type=int, default=50)
     parser.add_argument("--lookahead-tile", type=int, default=256,
                         help="candidates per vmapped lookahead pass (memory bound)")
+    parser.add_argument("--shard-candidates", type=int, default=0,
+                        metavar="N_DEVICES",
+                        help="shard lookahead candidates over an N-device mesh")
     parser.add_argument("--subtract-mean", action="store_true", default=True)
     parser.add_argument(
         "--no-subtract-mean", action="store_false", dest="subtract_mean"
@@ -99,6 +102,12 @@ def main(argv=None):
 
     binary_acc = set(vals) in ({-1.0, 1.0}, {0.0, 1.0})
 
+    mesh = None
+    if args.shard_candidates:
+        from amf_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.shard_candidates)
+
     results = run_active_stan(
         problem, real, key_names,
         latent_d=args.latent_d,
@@ -110,6 +119,7 @@ def main(argv=None):
         lookahead_samps=args.lookahead_samps,
         lookahead_warmup=args.lookahead_warmup,
         lookahead_tile=args.lookahead_tile,
+        mesh=mesh,
         steps=args.steps,
         seed=args.seed,
         model_init_map=args.model_init,
