@@ -45,6 +45,9 @@ def run_active_pmf(
     verbose: bool = False,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 20,
+    initial_state=None,  # (pst, ast) snapshot to reuse instead of refitting
+    # (reference: --load-model reusing _initial_apmf, active_pmf.py:1131,
+    # :1214-1215; results store the snapshot as _initial_state)
 ) -> Dict[str, object]:
     """Run the full multi-criterion comparison (reference: compare(),
     active_pmf.py:1013-1092). Returns the reference results schema."""
@@ -86,17 +89,37 @@ def run_active_pmf(
 
     # ---- initial fit, shared by all criteria (reference: :1043-1055)
     key, kinit, kapprox = jax.random.split(key, 3)
-    pst = pmf.init_state(kinit, n, m, pcfg, problem, dtype=dtype)
-    if fit_sigmas:
-        pst = pmf.fit_with_sigmas(pst, problem, pcfg)
-    else:
-        pst, _ = pmf.fit(pst, problem, pcfg)
-
     needs_approx = any(registry[k].needs_approx for k in key_names)
-    ast = None
-    if needs_approx:
-        ast = adapter.init_approx(kapprox, pst)
-        ast = adapter.fit_approx(ast, pst, problem, 10_000)
+    if initial_state is not None:
+        # --load-model snapshot reuse (reference: active_pmf.py:1214-1215)
+        cast = lambda x: (
+            jnp.asarray(x).astype(dtype)
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+            else jnp.asarray(x)
+        )
+        pst, ast = initial_state
+        pst = jax.tree.map(cast, pst)
+        if pst.U.shape != (n, pcfg.latent_d):
+            raise ValueError(
+                f"loaded model shape {pst.U.shape} does not match problem "
+                f"({n}, {pcfg.latent_d})"
+            )
+        if ast is not None:
+            ast = jax.tree.map(cast, ast)
+        if needs_approx and ast is None:
+            ast = adapter.init_approx(kapprox, pst)
+            ast = adapter.fit_approx(ast, pst, problem, 10_000)
+    else:
+        pst = pmf.init_state(kinit, n, m, pcfg, problem, dtype=dtype)
+        if fit_sigmas:
+            pst = pmf.fit_with_sigmas(pst, problem, pcfg)
+        else:
+            pst, _ = pmf.fit(pst, problem, pcfg)
+
+        ast = None
+        if needs_approx:
+            ast = adapter.init_approx(kapprox, pst)
+            ast = adapter.fit_approx(ast, pst, problem, 10_000)
 
     real_j = jnp.asarray(real, dtype=dtype)
 

@@ -41,6 +41,7 @@ def run_active_mmmf(
     steps: Optional[int] = None,
     seed: int = 0,
     cfg: Optional[mmmf.MMMFConfig] = None,
+    mode: str = "avg",  # 'avg' = nuclear norm (solveD 'a'), 'max' = max-norm
     dtype=jnp.float64,
     keep_predictions: bool = False,
     verbose: bool = False,
@@ -55,11 +56,23 @@ def run_active_mmmf(
     y_real_j = jnp.asarray(y_real, dtype=dtype)
     key = jax.random.PRNGKey(seed)
 
-    @jax.jit
-    def solve_for(rated, state):
-        y_tr = jnp.where(rated, y_real_j, 0.0)
-        st, iters = mmmf.solve(y_tr, cfg, state)
-        return st, iters
+    if mode == "max":
+        mcfg = mmmf.MaxNormConfig(C=cfg.C, max_iters=cfg.max_iters)
+
+        @jax.jit
+        def solve_for(rated, state):
+            y_tr = jnp.where(rated, y_real_j, 0.0)
+            st, obj = mmmf.solve_maxnorm(
+                y_tr, mcfg, state, key=jax.random.fold_in(key, 7)
+            )
+            return st, obj
+    else:
+
+        @jax.jit
+        def solve_for(rated, state):
+            y_tr = jnp.where(rated, y_real_j, 0.0)
+            st, iters = mmmf.solve(y_tr, cfg, state)
+            return st, iters
 
     @jax.jit
     def misclass(X, test):

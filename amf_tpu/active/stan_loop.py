@@ -188,6 +188,12 @@ def run_active_stan(
         st, _ = st_pair
         st = bpmf_hmc.invalidate_mode(st, prob)
         st, samps = sample_fn(k, st, prob)
+        if verbose:
+            # sampler-quality diagnostics on the joint log-density trace
+            # (the quantity Stan's own console reported; SURVEY.md §5.1)
+            lp = np.asarray(samps["lp__"]).reshape(chains, -1)
+            print(f"    [nuts] lp__ split-Rhat {metrics.split_rhat(lp):.3f}, "
+                  f"ESS {metrics.ess(lp):.0f}/{lp.size}")
         return st, stats_fn(samps, st.mean_rating)
 
     family = Family(

@@ -84,4 +84,75 @@ def area_under_curve(xs: np.ndarray, ys: np.ndarray) -> float:
     """Trapezoidal area under a learning curve (plot_aucs.py analogue)."""
     xs = np.asarray(xs, dtype=np.float64)
     ys = np.asarray(ys, dtype=np.float64)
-    return float(np.trapz(ys, xs))
+    trap = getattr(np, "trapezoid", None) or np.trapz
+    return float(trap(ys, xs))
+
+
+def split_rhat(draws: np.ndarray) -> np.ndarray:
+    """Split-chain potential scale reduction (Gelman-Rubin R-hat).
+
+    draws: (n_chains, n_samples) or (n_chains, n_samples, dim) — each chain
+    is split in half (catching within-chain nonstationarity, the Stan manual
+    convention), then R-hat = sqrt(((n-1)/n * W + B/n) / W). Values near 1
+    indicate mixing; > ~1.05 is suspect. Reference analogue: Stan printed
+    these in its sampler output (captured but unparsed,
+    rstan_interface.py:69-113); the rebuild makes them first-class.
+    """
+    x = np.asarray(draws, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[None]
+    scalar = x.ndim == 2
+    if scalar:
+        x = x[..., None]
+    c, n, dim = x.shape
+    half = n // 2
+    x = np.concatenate([x[:, :half], x[:, half: 2 * half]], axis=0)
+    c, n = 2 * c, half
+    mean_c = x.mean(axis=1)  # (c, dim)
+    var_c = x.var(axis=1, ddof=1)  # (c, dim)
+    W = var_c.mean(axis=0)
+    B = n * mean_c.var(axis=0, ddof=1)
+    W = np.maximum(W, 1e-300)
+    rhat = np.sqrt(((n - 1) / n * W + B / n) / W)
+    return float(rhat[0]) if scalar else rhat
+
+
+def ess(draws: np.ndarray) -> np.ndarray:
+    """Effective sample size via Geyer's initial-monotone-positive-sequence
+    autocorrelation truncation (the Stan estimator's core), pooled over
+    chains.
+
+    draws: (n_chains, n_samples) or (n_chains, n_samples, dim).
+    """
+    x = np.asarray(draws, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[None]
+    scalar = x.ndim == 2
+    if scalar:
+        x = x[..., None]
+    c, n, dim = x.shape
+    out = np.empty(dim)
+    for k in range(dim):
+        chains = x[:, :, k]
+        chains = chains - chains.mean(axis=1, keepdims=True)
+        # per-chain autocorrelation via FFT, averaged
+        nfft = 1 << (2 * n - 1).bit_length()
+        f = np.fft.rfft(chains, nfft, axis=1)
+        acov = np.fft.irfft(f * np.conj(f), nfft, axis=1)[:, :n].real / n
+        var0 = acov[:, 0].mean()
+        if var0 <= 0:
+            out[k] = c * n
+            continue
+        rho = acov.mean(axis=0) / var0
+        # Geyer: sum consecutive pairs while positive and monotone
+        tau = 1.0
+        prev = np.inf
+        for t in range(1, n - 1, 2):
+            pair = rho[t] + rho[t + 1]
+            if pair < 0:
+                break
+            pair = min(pair, prev)
+            prev = pair
+            tau += 2 * pair
+        out[k] = c * n / max(tau, 1e-12)
+    return float(out[0]) if scalar else out

@@ -128,6 +128,94 @@ def objective(X: jax.Array, Y: jax.Array, C: float) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Max-norm mode (reference: solveD.m 'm' mode, :37-45)
+
+
+class MaxNormConfig(NamedTuple):
+    C: float = 1.0
+    rank: Optional[int] = None  # factor rank; None = min(n, m) (exact)
+    max_iters: int = 4000
+    lr0: float = 0.1
+
+
+@struct.dataclass
+class MaxNormState:
+    U: jax.Array
+    V: jax.Array
+
+    @property
+    def X(self) -> jax.Array:
+        return self.U @ self.V.T
+
+
+def solve_maxnorm(
+    Y: jax.Array,
+    cfg: MaxNormConfig = MaxNormConfig(),
+    state: Optional[MaxNormState] = None,
+    key: Optional[jax.Array] = None,
+) -> Tuple[MaxNormState, jax.Array]:
+    """Soft-margin MAX-NORM MMMF (the reference's solveD 'm' objective):
+
+        min  max(max_i ||U_i||^2, max_j ||V_j||^2)
+             + C * sum_{obs} hinge(1 - y_ij U_i . V_j)
+
+    The reference expresses this as the SDP diag-bound variable
+    (solveD.m:37-45, max over all diagonal entries of the Gram block matrix);
+    in the factored (Burer-Monteiro) form that diagonal IS the row norms of
+    U and V, so the objective above is the same program at full rank. Solved
+    by subgradient descent with diminishing steps (the max term contributes
+    a subgradient on the argmax row). Returns (state, final objective).
+
+    The committed experiments only exercise the 'a' (nuclear) mode
+    (evaluate_active.m:49); this completes the solveD mode surface.
+    """
+    Y = jnp.asarray(Y)
+    n, m = Y.shape
+    observed = Y != 0
+    d = cfg.rank or min(n, m)
+    if state is None:
+        key = key if key is not None else jax.random.PRNGKey(0)
+        ku, kv = jax.random.split(key)
+        U0 = 0.1 * jax.random.normal(ku, (n, d), Y.dtype)
+        V0 = 0.1 * jax.random.normal(kv, (m, d), Y.dtype)
+        state = MaxNormState(U=U0, V=V0)
+
+    def body(t, carry):
+        U, V = carry
+        X = U @ V.T
+        act = observed & (Y * X < 1.0)
+        dX = jnp.where(act, -cfg.C * Y, 0.0)
+        dU = dX @ V
+        dV = dX.T @ U
+        # subgradient of max(max_i ||U_i||^2, max_j ||V_j||^2)
+        un = jnp.sum(U * U, axis=1)
+        vn = jnp.sum(V * V, axis=1)
+        iu, iv = jnp.argmax(un), jnp.argmax(vn)
+        u_side = un[iu] >= vn[iv]
+        dU = dU + jnp.where(
+            u_side, 2.0, 0.0
+        ) * jnp.zeros_like(U).at[iu].set(U[iu])
+        dV = dV + jnp.where(
+            u_side, 0.0, 2.0
+        ) * jnp.zeros_like(V).at[iv].set(V[iv])
+        eta = cfg.lr0 / jnp.sqrt(t + 1.0)
+        return U - eta * dU, V - eta * dV
+
+    U, V = jax.lax.fori_loop(0, cfg.max_iters, body, (state.U, state.V))
+    st = MaxNormState(U=U, V=V)
+    return st, maxnorm_objective(U, V, Y, cfg.C)
+
+
+def maxnorm_objective(U, V, Y, C: float) -> jax.Array:
+    X = U @ V.T
+    hinge = jnp.where(Y != 0, jnp.maximum(0.0, 1.0 - Y * X), 0.0)
+    return (
+        jnp.maximum(jnp.max(jnp.sum(U * U, 1)), jnp.max(jnp.sum(V * V, 1)))
+        + C * jnp.sum(hinge)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Ordinal-label MMMF (reference: solveDord.m:1-60)
 
 

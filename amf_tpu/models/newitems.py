@@ -179,3 +179,81 @@ def initial_full_fit(
     st = bpmf_hmc.init_state(prob_old, cfg, dtype=dtype)
     st, samps = bpmf_hmc.samples(key, st, prob_old, cfg, num_samps, warmup)
     return samps["U"].mean(0), samps["V"].mean(0), st.mean_rating
+
+
+def lookahead_scores(
+    key: jax.Array,
+    state: NewItemsState,
+    problem_new: Problem,
+    cfg: HMCConfig,
+    base_stats,
+    rating_values: Tuple[float, ...],
+    stat: str = "total-variance",  # or 'entropy-est'
+    num_samps: int = 30,
+    warmup: int = 15,
+    cand: Optional[jax.Array] = None,
+    dirichlet_alpha: float = 0.1,
+    n_base_samples: int = 128,
+    candidate_tile: int = 0,
+) -> jax.Array:
+    """exp-variance / exp-entropy-est over the NEW-ITEM submatrix.
+
+    The reference's cold-start MainProgram inherits the full lookahead KEYS
+    registry (stan-bpmf/bpmf_newitems.py:48 reusing bpmf.py:544-556): per
+    (candidate, value) a fresh short phase-2 NUTS run from the mode, the
+    statistic integrated under the base chain's Dirichlet-smoothed per-cell
+    marginals (bpmf.py:436-443, 483-521). Same engine shape as
+    bpmf_hmc.lookahead_scores but sampling only V_new.
+    """
+    from amf_tpu.models import sample_stats
+    from amf_tpu.utils.rng import lane_keys
+
+    n, m_new = problem_new.shape
+    if cand is None:
+        cand = jnp.arange(n * m_new, dtype=jnp.int32)
+    values = jnp.asarray(sorted(rating_values), dtype=state.mode_q.dtype)
+    n_vals = values.shape[0]
+
+    counts = base_stats.bin_counts
+    denom = n_base_samples + dirichlet_alpha * n_vals
+    weights_full = (counts + dirichlet_alpha) / denom
+    ii, jj = cand // m_new, cand % m_new
+    w_c = weights_full[:, ii, jj].T  # (C, V)
+
+    def eval_one(i, j, v, k):
+        prob2 = problem_new.add_rating(i, j, v)
+        st2 = invalidate_mode(state)
+        st2, samps = samples(k, st2, prob2, cfg, num_samps, warmup)
+        if stat == "entropy-est":
+            return sample_stats.entropy_est_from_factors(
+                samps["U"], samps["V"], state.mean_rating, cfg.subtract_mean
+            )
+        stats = sample_stats.prediction_stats(
+            samps["U"], samps["V"], state.mean_rating, cfg.subtract_mean
+        )
+        return jnp.sum(stats.var)
+
+    keys = lane_keys(key, cand, n_vals)  # shard/tile-invariant streams
+    eval_tile = jax.vmap(
+        lambda i, j, ks: jax.vmap(lambda v, k: eval_one(i, j, v, k))(values, ks)
+    )
+
+    c_total = cand.shape[0]
+    if candidate_tile and c_total > candidate_tile:
+        tile = candidate_tile
+        pad = (-c_total) % tile
+
+        def padded(x):
+            widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, widths)
+
+        chunks = lambda x: x.reshape((-1, tile) + x.shape[1:])
+        evals = jax.lax.map(
+            lambda args: eval_tile(*args),
+            (chunks(padded(ii)), chunks(padded(jj)), chunks(padded(keys))),
+        ).reshape(c_total + pad, n_vals)[:c_total]
+    else:
+        evals = eval_tile(ii, jj, keys)  # (C, V)
+
+    scores = jnp.sum(evals * w_c, axis=-1)
+    return jnp.where(problem_new.queryable[ii, jj], scores, jnp.nan)

@@ -280,6 +280,8 @@ def fit_lookahead_batch(
     use_pallas: bool = True,
     block_rows: int = 256,
     bf16: bool = False,
+    lane_block: int = 0,  # >0: lane-blocked kernel (LB lanes share one base
+    # DMA; ops.pallas_kernels.pmf_batched_value_grad_t) — the fast TPU path
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Refit the MAP factors for L hypothesized (i, j, v) ratings at once.
 
@@ -297,22 +299,31 @@ def fit_lookahead_batch(
 
     L = delta_i.shape[0]
     n, m = problem.shape
-    kernel = (
-        (lambda U, V: pk.pmf_batched_value_grad(
-            U, V, problem.R_obs, problem.rated,
-            delta_i, delta_j, delta_v, sigmas, block_rows=block_rows,
-            bf16=bf16))
-        if use_pallas
-        else (lambda U, V: pk.pmf_batched_value_grad_reference(
-            U, V, problem.R_obs, problem.rated, delta_i, delta_j, delta_v,
-            sigmas))
-    )
     sigmas = jnp.stack(
         [state.sigma_sq, state.sigma_u_sq, state.sigma_v_sq]
     ).astype(jnp.float32)
+    if lane_block:
+        # transposed-factor carry: the lane-blocked kernel works in
+        # (lane, d, rows) layout end to end; transpose once at the boundary
+        kernel = lambda Ut, Vt: pk.pmf_batched_value_grad_t(
+            Ut, Vt, problem.R_obs, problem.rated,
+            delta_i, delta_j, delta_v, sigmas, block_rows=block_rows,
+            lanes_per_block=lane_block, bf16=bf16)
+    elif use_pallas:
+        kernel = lambda U, V: pk.pmf_batched_value_grad(
+            U, V, problem.R_obs, problem.rated,
+            delta_i, delta_j, delta_v, sigmas, block_rows=block_rows,
+            bf16=bf16)
+    else:
+        kernel = lambda U, V: pk.pmf_batched_value_grad_reference(
+            U, V, problem.R_obs, problem.rated, delta_i, delta_j, delta_v,
+            sigmas)
 
     U0 = jnp.broadcast_to(state.U[None], (L, n, cfg.latent_d)).astype(jnp.float32)
     V0 = jnp.broadcast_to(state.V[None], (L, m, cfg.latent_d)).astype(jnp.float32)
+    if lane_block:
+        U0 = U0.transpose(0, 2, 1)
+        V0 = V0.transpose(0, 2, 1)
     f0, gu0, gv0 = kernel(U0, V0)
 
     lr0 = jnp.full((L,), cfg.learning_rate, jnp.float32)
@@ -346,6 +357,9 @@ def fit_lookahead_batch(
     U, V, _, _, _, f, _, _ = jax.lax.while_loop(
         cond, body, (U0, V0, gu0, gv0, lr0, f0, done0, jnp.int32(0))
     )
+    if lane_block:
+        U = U.transpose(0, 2, 1)
+        V = V.transpose(0, 2, 1)
     return U, V, f
 
 

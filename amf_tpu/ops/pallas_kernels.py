@@ -191,6 +191,182 @@ def pmf_batched_value_grad(
     return neg_ll, gu, gv
 
 
+def _kernel_v2(
+    # scalar prefetch
+    di_ref,  # (L,) int32 delta row per lane
+    dj_ref,  # (L,) int32 delta col per lane
+    dv_ref,  # (L,) f32 delta value per lane
+    sig_ref,  # (3,) f32 [sigma_sq, sigma_u_sq, sigma_v_sq]
+    # inputs
+    r_ref,  # (bn, m) base ratings block (shared across the lane block)
+    mask_ref,  # (bn, m) base rated mask block
+    ut_ref,  # (LB, d, bn) transposed factor block
+    vt_ref,  # (LB, d, m)
+    # outputs
+    gut_ref,  # (LB, d, bn)
+    gvt_ref,  # (LB, d, m) accumulated over row blocks
+    val_ref,  # (LB, 8, 128) data-term accumulator (scalar at [l, 0, 0])
+    *,
+    lanes_per_block: int,
+):
+    """Lane-blocked variant of ``_kernel``: one R/mask DMA feeds LB lanes.
+
+    v1 re-fetches the base matrices once per LANE (the dominant HBM bill at
+    reference scale); here the grid is (lane-blocks, row-blocks) and each
+    iteration computes LB lanes against one base block, cutting base traffic
+    LB-fold. Factors are carried TRANSPOSED as (d, rows) so the d axis sits in
+    sublanes (padding d=10 to 16 instead of to a 128-lane row), which keeps
+    the per-lane V tile ~8x smaller in VMEM.
+    """
+    lb = pl.program_id(0)
+    rblk = pl.program_id(1)
+    bn = r_ref.shape[0]
+    m = r_ref.shape[1]
+
+    inv_sig = 1.0 / sig_ref[0]
+    sigma_u_sq = sig_ref[1]
+    sigma_v_sq = sig_ref[2]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bn, m), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bn, m), 1)
+    corner = (
+        jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0
+    ) & (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 0)
+
+    base_r = r_ref[...].astype(jnp.float32)
+    base_mask = mask_ref[...].astype(jnp.float32)
+
+    for l in range(lanes_per_block):  # unrolled over the lane block
+        lane = lb * lanes_per_block + l
+        ut = ut_ref[l]  # (d, bn)
+        vt = vt_ref[l]  # (d, m)
+        pred = jax.lax.dot_general(
+            ut, vt, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bn, m)
+
+        di = di_ref[lane] - rblk * bn
+        dj = dj_ref[lane]
+        hit = (rows == di) & (cols == dj)
+        maskv = jnp.where(hit, 1.0, base_mask)
+        err = maskv * (jnp.where(hit, dv_ref[lane], base_r) - pred)
+        resid = err * inv_sig  # (bn, m)
+
+        gut_ref[l] = (
+            jax.lax.dot_general(
+                vt, resid, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (d, bn)
+            - ut / sigma_u_sq
+        )
+        gvt_part = jax.lax.dot_general(
+            ut, resid, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (d, m)
+        val_block = jnp.where(corner, jnp.sum(err * err), 0.0)
+
+        @pl.when(rblk == 0)
+        def _():
+            gvt_ref[l] = gvt_part - vt / sigma_v_sq
+            val_ref[l] = val_block
+
+        @pl.when(rblk != 0)
+        def _():
+            gvt_ref[l] = gvt_ref[l] + gvt_part
+            val_ref[l] = val_ref[l] + val_block
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_rows", "lanes_per_block", "bf16")
+)
+def pmf_batched_value_grad_t(
+    Ut: jax.Array,  # (L, d, n) TRANSPOSED factors
+    Vt: jax.Array,  # (L, d, m)
+    R: jax.Array,  # (n, m) base observed values (shared)
+    rated: jax.Array,  # (n, m) base rated mask (bool or f32, shared)
+    delta_i: jax.Array,  # (L,) int32
+    delta_j: jax.Array,  # (L,) int32
+    delta_v: jax.Array,  # (L,) f32
+    sigmas: jax.Array,  # (3,) [sigma_sq, sigma_u_sq, sigma_v_sq]
+    block_rows: int = 256,
+    lanes_per_block: int = 8,
+    bf16: bool = True,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Lane-blocked fused lookahead step (see ``_kernel_v2``).
+
+    Same semantics as ``pmf_batched_value_grad`` but takes/returns factors in
+    (lane, d, rows) layout: (neg_ll (L,), grad_Ut (L, d, n), grad_Vt (L, d, m)).
+    L must... is padded to a lanes_per_block multiple internally.
+    """
+    L, d, n = Ut.shape
+    m = Vt.shape[2]
+    bn = min(block_rows, _round_up(n, 8))
+    n_pad = _round_up(n, bn)
+    LB = lanes_per_block
+    L_pad = _round_up(L, LB)
+
+    io_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    R32 = R.astype(io_dtype)
+    mask32 = rated.astype(io_dtype)
+    if n_pad != n:
+        R32 = jnp.pad(R32, ((0, n_pad - n), (0, 0)))
+        mask32 = jnp.pad(mask32, ((0, n_pad - n), (0, 0)))
+        Ut = jnp.pad(Ut, ((0, 0), (0, 0), (0, n_pad - n)))
+    if L_pad != L:
+        padL = lambda x: jnp.pad(x, ((0, L_pad - L),) + ((0, 0),) * (x.ndim - 1))
+        Ut, Vt = padL(Ut), padL(Vt)
+        delta_i, delta_j, delta_v = padL(delta_i), padL(delta_j), padL(delta_v)
+
+    grid = (L_pad // LB, n_pad // bn)  # lane blocks outer, row blocks inner
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bn, m), lambda lb, r, *_: (r, 0)),
+            pl.BlockSpec((bn, m), lambda lb, r, *_: (r, 0)),
+            pl.BlockSpec((LB, d, bn), lambda lb, r, *_: (lb, 0, r)),
+            pl.BlockSpec((LB, d, m), lambda lb, r, *_: (lb, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((LB, d, bn), lambda lb, r, *_: (lb, 0, r)),
+            pl.BlockSpec((LB, d, m), lambda lb, r, *_: (lb, 0, 0)),
+            pl.BlockSpec((LB, 8, 128), lambda lb, r, *_: (lb, 0, 0)),
+        ],
+    )
+
+    gut, gvt, vals = pl.pallas_call(
+        functools.partial(_kernel_v2, lanes_per_block=LB),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((L_pad, d, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((L_pad, d, m), jnp.float32),
+            jax.ShapeDtypeStruct((L_pad, 8, 128), jnp.float32),
+        ],
+    )(
+        delta_i.astype(jnp.int32),
+        delta_j.astype(jnp.int32),
+        delta_v.astype(jnp.float32),
+        sigmas.astype(jnp.float32),
+        R32,
+        mask32,
+        Ut.astype(io_dtype),
+        Vt.astype(io_dtype),
+    )
+
+    gut = gut[:L, :, :n]
+    gvt = gvt[:L]
+    Ut = Ut[:L, :, :n]
+    Vt = Vt[:L]
+    sigma_sq, sigma_u_sq, sigma_v_sq = sigmas[0], sigmas[1], sigmas[2]
+    neg_ll = (
+        vals[:L, 0, 0] / (2 * sigma_sq)
+        + jnp.sum(Ut * Ut, axis=(1, 2)) / (2 * sigma_u_sq)
+        + jnp.sum(Vt * Vt, axis=(1, 2)) / (2 * sigma_v_sq)
+    )
+    return neg_ll, gut, gvt
+
+
 def pmf_batched_value_grad_reference(
     U, V, R, rated, delta_i, delta_j, delta_v, sigmas
 ):

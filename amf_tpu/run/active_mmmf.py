@@ -27,6 +27,9 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--float32", action="store_true")
     parser.add_argument("--admm-iters", type=int, default=2000)
+    parser.add_argument("--mode", choices=("avg", "max"), default="avg",
+                        help="solveD maxoravg mode: 'avg' nuclear norm, "
+                             "'max' max-norm (solveD.m:37-45)")
     parser.add_argument("--keep-predictions", action="store_true",
                         help="store the learned X per step like the reference")
     parser.add_argument("--checkpoint", default=None, metavar="FILE",
@@ -86,6 +89,7 @@ def main(argv=None):
         problem, y, key_names,
         C=args.C, steps=args.steps, seed=args.seed,
         cfg=MMMFConfig(C=args.C, max_iters=args.admm_iters),
+        mode=args.mode,
         dtype=dtype, keep_predictions=args.keep_predictions,
         verbose=args.verbose,
         checkpoint_path=args.checkpoint,

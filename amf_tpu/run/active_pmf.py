@@ -49,6 +49,11 @@ def build_parser():
 
     problem_def = parser.add_argument_group("Problem Definition")
     problem_def.add_argument("--load-data", default=None, metavar="FILE")
+    problem_def.add_argument("--load-model", default=None, metavar="FILE",
+                             help="reuse the fitted initial model/approx "
+                                  "snapshot (_initial_state) from a previous "
+                                  "results pickle (reference: "
+                                  "active_pmf.py:1131,1214-1215)")
     problem_def.add_argument("--gen-rank", "-R", type=int, default=5)
     problem_def.add_argument("--type", default="float")
     problem_def.add_argument("--u-mean", type=float, default=0)
@@ -229,6 +234,18 @@ def main(argv=None):
 
         mesh = make_mesh(args.shard_candidates)
 
+    initial_state = None
+    if args.load_model:
+        with open(args.load_model, "rb") as f:
+            prev = pickle.load(f)
+        initial_state = prev.get("_initial_state")
+        if initial_state is None:
+            sys.stderr.write(
+                f"{args.load_model} has no _initial_state snapshot\n"
+            )
+            sys.exit(1)
+        print(f"reusing initial model from {args.load_model}")
+
     results = loop.run_active_pmf(
         problem, real, key_names,
         latent_d=args.latent_d,
@@ -250,7 +267,14 @@ def main(argv=None):
     if args.save_results:
         print(f"saving results in '{args.save_results}'")
         results = dict(results)
-        results.pop("_initial_state", None)  # device arrays; not portable
+        # persist the initial snapshot as host arrays so --load-model can
+        # reuse it (the reference pickles _initial_apmf, active_pmf.py:1061)
+        if results.get("_initial_state") is not None:
+            import jax as _jax
+
+            results["_initial_state"] = _jax.tree.map(
+                np.asarray, results["_initial_state"]
+            )
         results["_kind"] = "mnpmf" if args.model == "mn" else "apmf"
         results["_args"] = vars(args)
         with open(args.save_results, "wb") as f:

@@ -2,7 +2,9 @@
 
 Mirrors ``stan-bpmf/bpmf_newitems.py`` (:12-138): two-phase fit — a full
 BPMF fit on old items (cacheable via --initial-fit-file) then an active loop
-sampling only the new-item columns' factors.
+sampling only the new-item columns' factors. The cold-start MainProgram
+inherits the FULL criterion registry of the stan path, including the
+sampling lookaheads (bpmf_newitems.py:48 reusing bpmf.py:544-556).
 """
 
 from __future__ import annotations
@@ -15,7 +17,12 @@ import sys
 import numpy as np
 
 
-KEY_CHOICES = ("random", "pred-variance", "pred", "prob-ge-3.5", "prob-ge-.5")
+KEY_CHOICES = (
+    "random", "pred-variance", "exp-variance", "exp-entropy-est", "pred",
+    "prob-ge-3.5", "prob-ge-.5", "prob-ge-0",
+)
+_MINIMIZE = ("exp-variance", "exp-entropy-est")
+_CUTOFFS = (3.5, 0.5, 0.0)
 
 
 def main(argv=None):
@@ -24,6 +31,13 @@ def main(argv=None):
     parser.add_argument("--steps", "-s", type=int, default=None)
     parser.add_argument("--samps", "-S", type=int, default=100)
     parser.add_argument("--warmup", "-W", type=int, default=None)
+    parser.add_argument("--lookahead-samps", type=int, default=100)
+    parser.add_argument("--lookahead-warmup", type=int, default=50)
+    parser.add_argument("--lookahead-tile", type=int, default=256,
+                        help="candidates per vmapped lookahead pass")
+    parser.add_argument("--shard-candidates", type=int, default=0,
+                        metavar="N_DEVICES",
+                        help="shard lookahead candidates over an N-device mesh")
     parser.add_argument("--initial-fit-samps", type=int, default=200)
     parser.add_argument("--initial-fit-file", default=None,
                         help="cache the phase-1 posterior means here (.npz)")
@@ -37,6 +51,9 @@ def main(argv=None):
     parser.add_argument("--no-save-results", action="store_false",
                         dest="save_results")
     parser.add_argument("--note", action="append")
+    parser.add_argument("--checkpoint", default=None, metavar="FILE",
+                        help="partial-results checkpoint for exact resume "
+                             "(picks stored in new-item submatrix indices)")
     parser.add_argument("keys", nargs="*",
                         help="Choices: {}.".format(", ".join(KEY_CHOICES)))
     args = parser.parse_args(argv)
@@ -57,11 +74,12 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from amf_tpu import types
+    from amf_tpu.active.driver import Family, drive_active
     from amf_tpu.analysis import metrics
     from amf_tpu.data.loaders import load_npz_schema
     from amf_tpu.models import bpmf_hmc, newitems, sample_stats
-    from amf_tpu.types import rating_bounds, ratings_array
-    from amf_tpu.utils.rng import fold_in_name
+    from amf_tpu.types import rating_bounds
+    from amf_tpu.utils.checkpoint import LoopCheckpointer
 
     if args.save_results is True:
         args.save_results = "results.pkl"
@@ -77,6 +95,12 @@ def main(argv=None):
         sys.exit(1)
     is_new = data["_is_new_item"]
     vals = tuple(data.get("_rating_vals", ())) or ()
+    lookahead_keys = [k for k in key_names if k in _MINIMIZE]
+    if lookahead_keys and not vals:
+        sys.stderr.write(
+            f"{lookahead_keys} need _rating_vals in the data file\n"
+        )
+        sys.exit(1)
 
     dtype = jnp.float32 if args.float32 else jnp.float64
     problem = types.problem_from_ratings(
@@ -118,7 +142,6 @@ def main(argv=None):
     real_j = jnp.asarray(real_new, dtype)
     n, m_new = prob_new0.shape
     bounds = tuple(rating_bounds(vals)) if vals else None
-    cutoffs = (3.5, 0.5)
 
     sample_fn = jax.jit(
         lambda k, st, prob: newitems.samples(
@@ -128,14 +151,88 @@ def main(argv=None):
     stats_fn = jax.jit(
         lambda samps: sample_stats.prediction_stats(
             samps["U"], samps["V"], mr, cfg.subtract_mean,
-            cutoffs=cutoffs, value_bounds=bounds,
+            cutoffs=_CUTOFFS, value_bounds=bounds,
         )
     )
+
+    def lookahead_fn_factory(stat):
+        def raw(k, st, prob, base, cand=None):
+            return newitems.lookahead_scores(
+                k, st, prob, cfg, base, vals, stat=stat,
+                num_samps=args.lookahead_samps, warmup=args.lookahead_warmup,
+                n_base_samples=args.samps, cand=cand,
+                candidate_tile=args.lookahead_tile,
+            )
+
+        if args.shard_candidates:
+            from amf_tpu.parallel.mesh import make_mesh
+            from amf_tpu.parallel.sharding import sharded_candidate_scores
+
+            mesh = make_mesh(args.shard_candidates)
+
+            @jax.jit
+            def fn(k, st, prob, base):
+                run = sharded_candidate_scores(
+                    lambda cand, kk: raw(kk, st, prob, base, cand=cand),
+                    n * m_new, mesh,
+                )
+                return run(k).reshape(n, m_new)
+
+            return fn
+        return jax.jit(
+            lambda k, st, prob, base: raw(k, st, prob, base).reshape(n, m_new)
+        )
+
+    lookahead_fns = {}
+
+    def score(kname, st_pair, prob, k):
+        st, stats = st_pair
+        if kname == "random":
+            ev = jax.random.uniform(k, (n, m_new), dtype=dtype)
+        elif kname == "pred-variance":
+            ev = stats.var
+        elif kname == "pred":
+            ev = stats.mean
+        elif kname.startswith("prob-ge"):
+            cutoff = {"prob-ge-3.5": 3.5, "prob-ge-.5": 0.5, "prob-ge-0": 0.0}[
+                kname
+            ]
+            ev = stats.prob_ge[_CUTOFFS.index(cutoff)]
+        else:  # exp-variance / exp-entropy-est
+            stat = ("total-variance" if kname == "exp-variance"
+                    else "entropy-est")
+            if stat not in lookahead_fns:
+                lookahead_fns[stat] = lookahead_fn_factory(stat)
+            ev = lookahead_fns[stat](k, st, prob, stats)
+        return (jnp.where(prob.queryable, ev, jnp.nan),
+                kname not in _MINIMIZE)
+
+    def refit(st_pair, prob, k):
+        st, _ = st_pair
+        st = newitems.invalidate_mode(st)
+        st, samps = sample_fn(k, st, prob)
+        return st, stats_fn(samps)
 
     st0 = newitems.init_state(prob_new0, U_mean, V_fixed, cfg, mr, dtype=dtype)
     key, ks = jax.random.split(key)
     st0, samps0 = sample_fn(ks, st0, prob_new0)
     stats0 = stats_fn(samps0)
+
+    ckpt = LoopCheckpointer.for_problem(
+        args.checkpoint, prob_new0, real_new, every=20
+    )
+    family = Family(
+        nice_name=lambda kname: kname,
+        score=score,
+        refit=refit,
+        err=lambda st_pair, prob: metrics.rmse_on(
+            st_pair[1].mean, real_j, prob.test
+        ),
+    )
+    per_key = drive_active(
+        prob_new0, real_new, key_names, family, (st0, stats0), key,
+        steps=args.steps, ckpt=ckpt, verbose=args.verbose,
+    )
 
     results = {
         "_real": real,
@@ -143,41 +240,14 @@ def main(argv=None):
         "_rating_vals": vals or None,
         "_is_new_item": np.asarray(is_new),
     }
-
-    for kname in key_names:
-        prob_k, st_k, stats_k = prob_new0, st0, stats0
-        kloop = fold_in_name(key, kname)
-        err0 = float(metrics.rmse_on(stats_k.mean, real_j, prob_k.test))
-        records = [(int(prob_k.n_rated), err0, None, None)]
-        max_steps = args.steps if args.steps is not None else n * m_new
-
-        while bool(prob_k.queryable.any()) and len(records) < max_steps:
-            kloop, kev, ksamp = jax.random.split(kloop, 3)
-            if kname == "random":
-                ev = jax.random.uniform(kev, (n, m_new), dtype=dtype)
-            elif kname == "pred-variance":
-                ev = stats_k.var
-            elif kname == "pred":
-                ev = stats_k.mean
-            elif kname == "prob-ge-3.5":
-                ev = stats_k.prob_ge[0]
-            else:
-                ev = stats_k.prob_ge[1]
-            masked = jnp.where(prob_k.queryable, ev, -jnp.inf)
-            flat = int(jnp.argmax(masked))
-            i, j = flat // m_new, flat % m_new
-            prob_k = prob_k.add_rating(i, j, float(real_new[i, j]))
-            st_k = newitems.invalidate_mode(st_k)
-            st_k, samps = sample_fn(ksamp, st_k, prob_k)
-            stats_k = stats_fn(samps)
-            err = float(metrics.rmse_on(stats_k.mean, real_j, prob_k.test))
-            records.append(
-                (int(prob_k.n_rated), err, (i, int(new_cols[j])), np.asarray(ev))
-            )
-            if args.verbose:
-                print(f"{kname:<16} step {len(records)-1}: "
-                      f"({i},{int(new_cols[j])}) rmse {err:.5f}")
-        results[kname] = records
+    # picks are made in the new-item submatrix; report original column ids
+    # like the reference (jigger_ratings inverse, bpmf_newitems.py:41-45)
+    for kname, recs in per_key.items():
+        results[kname] = [
+            rec if rec[2] is None
+            else rec[:2] + ((rec[2][0], int(new_cols[rec[2][1]])),) + rec[3:]
+            for rec in recs
+        ]
 
     if args.save_results:
         print(f"\nsaving results in '{args.save_results}'")

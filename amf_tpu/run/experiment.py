@@ -388,6 +388,10 @@ def main(argv=None):
                         help="override the step budget of every run")
     parser.add_argument("--force", action="store_true",
                         help="rerun even if the result file exists")
+    parser.add_argument("--check", action="store_true",
+                        help="run parity acceptance checks on the "
+                             "experiment's existing results (writes "
+                             "digest_<kind>.json.gz + parity_report.json)")
     args = parser.parse_args(argv)
 
     exps = catalog()
@@ -403,6 +407,27 @@ def main(argv=None):
     exp = exps[args.experiment]
     out = os.path.join(args.outdir, exp.name)
     os.makedirs(out, exist_ok=True)
+
+    if args.check:
+        import json
+
+        from amf_tpu.analysis.parity import check_experiment_dir
+
+        rows, hard_ok = check_experiment_dir(out)
+        if not rows:
+            sys.stderr.write(f"no results_*.pkl under {out}\n")
+            sys.exit(2)
+        width = max(len(r["key"]) for r in rows)
+        for r in rows:
+            print(f"[{r['status']:<4}] {r['check']:<18} "
+                  f"{r['key']:<{width}}  {r['detail']}")
+        report = {"experiment": exp.name, "source": exp.source,
+                  "git_rev": _git_rev(), "checks": rows, "hard_ok": hard_ok}
+        rpath = os.path.join(out, "parity_report.json")
+        with open(rpath, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"\nreport: {rpath}  hard_ok={hard_ok}")
+        sys.exit(0 if hard_ok else 1)
     # choose_training saves via np.savez_compressed, which appends .npz to
     # any other suffix — name the file accordingly or it is never found
     mod0 = exp.data_cmd[0]

@@ -46,6 +46,34 @@ def test_active_pmf_cli(data_file, tmp_path):
     assert len(res["pred-variance"]) == 2
 
 
+def test_active_pmf_load_model(data_file, tmp_path):
+    """--load-model reuses the _initial_state snapshot from a previous
+    results pickle (reference: active_pmf.py:1131,1214-1215)."""
+    from amf_tpu.run import active_pmf
+
+    first = str(tmp_path / "first.pkl")
+    active_pmf.main([
+        "--load-data", data_file, "-D", "2", "-s", "2",
+        "--discrete-integration", "--no-verbose",
+        "--save-results", first, "pred-variance",
+    ])
+    prev = pickle.load(open(first, "rb"))
+    assert prev["_initial_state"] is not None
+    assert isinstance(prev["_initial_state"][0].U, np.ndarray)
+
+    second = str(tmp_path / "second.pkl")
+    active_pmf.main([
+        "--load-data", data_file, "--load-model", first, "-D", "2", "-s", "2",
+        "--discrete-integration", "--no-verbose",
+        "--save-results", second, "pred-variance",
+    ])
+    a = pickle.load(open(first, "rb"))
+    b = pickle.load(open(second, "rb"))
+    # same initial model -> identical first-step decisions and errors
+    assert a["pred-variance"][1][2] == b["pred-variance"][1][2]
+    assert a["pred-variance"][0][1] == pytest.approx(b["pred-variance"][0][1])
+
+
 def test_bayes_pmf_cli(data_file, tmp_path):
     from amf_tpu.run import bayes_pmf
 
@@ -114,6 +142,35 @@ def test_newitems_cli(tmp_path):
     ])
     res = pickle.load(open(out, "rb"))
     assert len(res["pred-variance"]) == 2
+
+
+def test_newitems_cli_lookahead_key(tmp_path):
+    """The cold-start CLI supports the sampling lookahead keys (reference:
+    bpmf_newitems.py:48 inherits the full bpmf KEYS registry)."""
+    from amf_tpu.run import bpmf_newitems
+
+    rng = np.random.default_rng(2)
+    real, _, vals = make_fake_data(
+        num_users=5, num_items=6, rank=2, data_type=5, mask_type=0.6, rng=rng
+    )
+    real = np.clip(real, 1, 5)
+    split = make_new_items_split(real, n_new=2, know_all_old=True, rng=rng)
+    data = str(tmp_path / "nila.npz")
+    save_npz_schema(data, split)
+    out = str(tmp_path / "nila.pkl")
+    bpmf_newitems.main([
+        "--load-data", data, "-D", "2", "-s", "2", "-S", "8",
+        "--lookahead-samps", "4", "--lookahead-warmup", "2",
+        "--initial-fit-samps", "10", "--no-verbose",
+        "--save-results", out, "exp-variance",
+    ])
+    res = pickle.load(open(out, "rb"))
+    recs = res["exp-variance"]
+    assert len(recs) == 2
+    assert np.isfinite(recs[1][1])
+    # picks are reported in ORIGINAL column ids (the new-item columns)
+    new_cols = np.nonzero(res["_is_new_item"])[0]
+    assert recs[1][2][1] in set(int(c) for c in new_cols)
 
 
 def test_plot_and_compare_clis(data_file, tmp_path, capsys):

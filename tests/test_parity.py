@@ -1,0 +1,73 @@
+"""Parity-check machinery tests (analysis/parity.py)."""
+
+import numpy as np
+
+from amf_tpu.analysis import parity
+
+
+def _fake_results(err_curve, key="pred-variance", kind="apmf", n=4, m=4):
+    rng = np.random.default_rng(0)
+    recs = [(4, err_curve[0], None, None)]
+    for t, e in enumerate(err_curve[1:]):
+        ev = rng.normal(size=(n, m))
+        recs.append((5 + t, e, (t % n, (t + 1) % m), ev))
+    rand = [(4, err_curve[0], None, None)] + [
+        (5 + t, err_curve[0] * (1 - 0.01 * t), (t % n, t % m),
+         rng.normal(size=(n, m)))
+        for t in range(len(err_curve) - 1)
+    ]
+    return {
+        "_real": np.ones((n, m)),
+        "_rating_vals": (1.0, 2.0),
+        "_kind": kind,
+        key: recs,
+        "random": rand,
+    }
+
+
+def test_check_results_pass():
+    res = _fake_results([1.0, 0.8, 0.6, 0.5])
+    rows = parity.check_results(res, "apmf")
+    assert all(r["status"] == "pass" for r in rows), rows
+    checks = {r["check"] for r in rows}
+    assert checks == {"structural", "learning", "active_vs_random"}
+
+
+def test_check_results_fail_on_worsening():
+    res = _fake_results([1.0, 1.2, 1.4, 1.5])
+    rows = parity.check_results(res, "apmf")
+    assert any(
+        r["check"] == "learning" and r["status"] == "fail" for r in rows
+    )
+
+
+def test_check_results_structural_fail_on_nan():
+    res = _fake_results([1.0, float("nan"), 0.6, 0.5])
+    rows = parity.check_results(res, "apmf")
+    assert any(
+        r["check"] == "structural" and r["status"] == "fail" for r in rows
+    )
+
+
+def test_digest_strips_eval_grids():
+    res = _fake_results([1.0, 0.8, 0.6])
+    dg = parity.digest(res, "apmf")
+    crit = dg["criteria"]["pred-variance"]
+    assert crit["err"] == [1.0, 0.8, 0.6]
+    assert len(crit["picks"]) == 3 and crit["picks"][0] is None
+    # only the FIRST step's eval map is retained
+    assert crit["first_step_evals"] is not None
+    assert np.asarray(crit["first_step_evals"]).shape == (4, 4)
+
+
+def test_cross_engine_tau():
+    a = _fake_results([1.0, 0.8, 0.6], kind="bayes")
+    rng = np.random.default_rng(1)
+    base = rng.normal(size=(4, 4))
+    # two engines with strongly agreeing first-step maps
+    a["pred-variance"][1] = (5, 0.8, (0, 1), base)
+    b = _fake_results([1.0, 0.9, 0.7], kind="stan")
+    b["pred-variance"][1] = (5, 0.9, (0, 1), base + 0.01 * rng.normal(size=(4, 4)))
+    rows = parity.check_cross_engine({"bayes": a, "stan": b})
+    tau_rows = [r for r in rows if "pred-variance" in r["key"]]
+    assert tau_rows and tau_rows[0]["status"] == "pass", rows
