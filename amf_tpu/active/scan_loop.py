@@ -19,8 +19,8 @@ import jax.numpy as jnp
 from amf_tpu.active import criteria as criteria_mod
 from amf_tpu.active import lookahead as lookahead_mod
 from amf_tpu.analysis import metrics
-from amf_tpu.models import pmf, vnormal
-from amf_tpu.types import Problem
+from amf_tpu.models import bpmf_gibbs, bpmf_hmc, mnormal, pmf, vnormal
+from amf_tpu.types import Problem, rating_bounds
 
 
 class SweepResult(NamedTuple):
@@ -30,6 +30,49 @@ class SweepResult(NamedTuple):
     picks_j: jax.Array  # (steps,)
     valid: jax.Array  # (steps,) False once the pool is exhausted
     rmse0: jax.Array  # scalar: pre-query RMSE after the initial fit
+
+
+def run_scan(
+    problem: Problem,
+    real: jax.Array,
+    state0,
+    score,  # (state, prob, key) -> (n, m) evals
+    refit,  # (state, prob, key) -> state
+    err,  # (state, prob) -> scalar
+    steps: int,
+    key: jax.Array,
+    maximize: bool,
+) -> Tuple[SweepResult, object]:
+    """The whole {score, pick, query, refit} sweep as one ``lax.scan`` —
+    zero host synchronization per step, states never leave HBM. Shared by
+    every model family (the scan analogue of active/driver.drive_active)."""
+    n, m = problem.shape
+
+    def step(carry, k):
+        prob, state = carry
+        k_score, k_refit = jax.random.split(k)
+        ev = score(state, prob, k_score)
+        any_left = jnp.any(prob.queryable)
+        if maximize:
+            flat = jnp.argmax(jnp.where(prob.queryable, ev, -jnp.inf))
+        else:
+            flat = jnp.argmin(jnp.where(prob.queryable, ev, jnp.inf))
+        i, j = flat // m, flat % m
+
+        new_prob = prob.add_rating(i, j, real[i, j])
+        prob = jax.tree.map(
+            lambda a, b: jnp.where(any_left, a, b), new_prob, prob
+        )
+        state = refit(state, prob, k_refit)
+        out = (prob.n_rated, err(state, prob), i, j, any_left)
+        return (prob, state), out
+
+    err0 = err(state0, problem)
+    keys = jax.random.split(key, steps)
+    (prob, state), (nr, errs, pi, pj, valid) = jax.lax.scan(
+        step, (problem, state0), keys
+    )
+    return SweepResult(nr, errs, pi, pj, valid, err0), state
 
 
 def run_active_scan(
@@ -43,16 +86,18 @@ def run_active_scan(
     lcfg: Optional[lookahead_mod.LookaheadConfig] = None,
     refit_budget: int = 2000,
     approx_budget: int = 2000,
+    model: str = "vn",  # 'vn' (ActivePMF) | 'mn' (MNActivePMF)
 ) -> Tuple[SweepResult, pmf.PMFState]:
-    """Run ``steps`` active-learning queries as one jitted scan.
-
-    Supports every criterion in the registry; lookahead criteria need lcfg.
-    Returns per-step traces and the final PMF state.
-    """
+    """Variational-family scan sweep (every vn/mn criterion; lookahead
+    criteria need lcfg). Returns per-step traces and the final carry."""
     n, m = problem.shape
     real = jnp.asarray(real, dtype=problem.R_obs.dtype)
-    vcfg = vcfg or vnormal.VNConfig(latent_d=pcfg.latent_d)
-    adapter = lookahead_mod.vn_adapter(vcfg)
+    if model == "mn":
+        mcfg = mnormal.MNConfig(latent_d=pcfg.latent_d)
+        adapter = lookahead_mod.mn_adapter(mcfg)
+    else:
+        vcfg = vcfg or vnormal.VNConfig(latent_d=pcfg.latent_d)
+        adapter = lookahead_mod.vn_adapter(vcfg)
 
     key, kinit, kapprox = jax.random.split(key, 3)
     pst0 = pmf.init_state(kinit, n, m, pcfg, problem, dtype=real.dtype)
@@ -61,7 +106,8 @@ def run_active_scan(
     if crit.needs_approx:
         ast0 = adapter.fit_approx(ast0, pst0, problem, approx_budget)
 
-    def score(pst, ast, prob, k):
+    def score(state, prob, k):
+        pst, ast = state
         if crit.kind == "direct":
             amv = adapter.pred_mean_var(ast, prob) if crit.needs_approx else None
             return criteria_mod.direct_scores(
@@ -72,34 +118,161 @@ def run_active_scan(
             crit, pst, ast, prob, k, pcfg, adapter, lcfg
         ).reshape(n, m)
 
-    def step(carry, k):
-        prob, pst, ast = carry
-        k_score, k_refit = jax.random.split(k)
-        ev = score(pst, ast, prob, k_score)
-        any_left = jnp.any(prob.queryable)
-        if crit.maximize:
-            flat = jnp.argmax(jnp.where(prob.queryable, ev, -jnp.inf))
-        else:
-            flat = jnp.argmin(jnp.where(prob.queryable, ev, jnp.inf))
-        i, j = flat // m, flat % m
-
-        new_prob = prob.add_rating(i, j, real[i, j])
-        prob = jax.tree.map(
-            lambda a, b: jnp.where(any_left, a, b), new_prob, prob
-        )
+    def refit(state, prob, k):
+        pst, ast = state
         pst = pmf.refresh_mean_rating(pst, prob)
         pst, _ = pmf.fit(pst, prob, pcfg, max_steps=refit_budget)
         if crit.needs_approx:
             ast = adapter.fit_approx(ast, pst, prob, approx_budget)
-        err = metrics.rmse_on(pmf.predicted_matrix(pst, pcfg), real, prob.test)
-        out = (prob.n_rated, err, i, j, any_left)
-        return (prob, pst, ast), out
+        return pst, ast
 
-    rmse0 = metrics.rmse_on(
-        pmf.predicted_matrix(pst0, pcfg), real, problem.test
+    def err(state, prob):
+        return metrics.rmse_on(
+            pmf.predicted_matrix(state[0], pcfg), real, prob.test
+        )
+
+    res, (pst, ast) = run_scan(
+        problem, real, (pst0, ast0), score, refit, err, steps, key,
+        crit.maximize,
     )
-    keys = jax.random.split(key, steps)
-    (prob, pst, ast), (nr, errs, pi, pj, valid) = jax.lax.scan(
-        step, (problem, pst0, ast0), keys
+    return res, pst
+
+
+def run_gibbs_scan(
+    problem: Problem,
+    real: jax.Array,
+    kname: str,
+    steps: int,
+    key: jax.Array,
+    pcfg: pmf.PMFConfig,
+    gcfg: bpmf_gibbs.GibbsConfig,
+    num_samps: int = 128,
+    rating_values: Tuple[float, ...] = (),
+    lookahead_samps: int = 30,
+    lookahead_tile: int = 0,
+) -> Tuple[SweepResult, object]:
+    """Gibbs-BPMF scan sweep: every KEYS criterion, incl. the exp-variance
+    MCMC lookahead, as one device program."""
+    from amf_tpu.active.gibbs_loop import KEYS, _CUTOFFS
+
+    spec = KEYS[kname]
+    n, m = problem.shape
+    real = jnp.asarray(real, dtype=problem.R_obs.dtype)
+    vals = tuple(sorted(rating_values)) if rating_values else ()
+    bounds = tuple(rating_bounds(vals)) if vals else None
+
+    def sample(pst, prob, k):
+        chain = bpmf_gibbs.init_chain(pst)
+        _, stats, _ = bpmf_gibbs.run_chain(
+            k, chain, prob, gcfg, num_samps,
+            cutoffs=_CUTOFFS, value_bounds=bounds,
+        )
+        return stats
+
+    def score(state, prob, k):
+        pst, stats = state
+        if spec.kind == "random":
+            return jax.random.uniform(k, (n, m), dtype=real.dtype)
+        if spec.kind == "pred-variance":
+            return stats.var
+        if spec.kind == "pred":
+            return stats.mean
+        if spec.kind == "prob-ge":
+            return stats.prob_ge[_CUTOFFS.index(spec.cutoff)]
+        assert vals, "exp-variance needs rating_values"
+        return bpmf_gibbs.exp_variance_scores(
+            k, pst, prob, pcfg, gcfg, stats, vals,
+            num_samps=lookahead_samps, n_base_samples=num_samps,
+            candidate_tile=lookahead_tile,
+        ).reshape(n, m)
+
+    def refit(state, prob, k):
+        pst, _ = state
+        pst = pmf.refresh_mean_rating(pst, prob)
+        pst, _ = pmf.fit(pst, prob, pcfg)
+        return pst, sample(pst, prob, k)
+
+    def err(state, prob):
+        return metrics.rmse_on(state[1].mean, real, prob.test)
+
+    key, kinit, ks = jax.random.split(key, 3)
+    pst0 = pmf.init_state(kinit, n, m, pcfg, problem, dtype=real.dtype)
+    pst0, _ = pmf.fit(pst0, problem, pcfg)
+    state0 = (pst0, sample(pst0, problem, ks))
+    return run_scan(
+        problem, real, state0, score, refit, err, steps, key, spec.choose_max
     )
-    return SweepResult(nr, errs, pi, pj, valid, rmse0), pst
+
+
+def run_stan_scan(
+    problem: Problem,
+    real: jax.Array,
+    kname: str,
+    steps: int,
+    key: jax.Array,
+    cfg: bpmf_hmc.HMCConfig,
+    num_samps: int = 100,
+    warmup: Optional[int] = None,
+    rating_values: Tuple[float, ...] = (),
+    lookahead_samps: int = 30,
+    lookahead_warmup: int = 15,
+    lookahead_tile: int = 0,
+    binary_acc: bool = False,
+) -> Tuple[SweepResult, object]:
+    """NUTS-BPMF scan sweep: every KEYS criterion, incl. the NUTS-per-lane
+    lookaheads, as one device program."""
+    from amf_tpu.active.stan_loop import KEYS, _CUTOFFS
+    from amf_tpu.models import sample_stats
+
+    spec = KEYS[kname]
+    n, m = problem.shape
+    real = jnp.asarray(real, dtype=problem.R_obs.dtype)
+    vals = tuple(sorted(rating_values)) if rating_values else ()
+    bounds = tuple(rating_bounds(vals)) if vals else None
+    warmup = num_samps // 2 if warmup is None else warmup
+
+    def sample(st, prob, k):
+        st, samps = bpmf_hmc.samples(k, st, prob, cfg, num_samps, warmup)
+        stats = sample_stats.prediction_stats(
+            samps["U"], samps["V"], st.mean_rating, cfg.subtract_mean,
+            cutoffs=_CUTOFFS, value_bounds=bounds,
+        )
+        return st, stats
+
+    def score(state, prob, k):
+        st, stats = state
+        if spec.kind == "random":
+            return jax.random.uniform(k, (n, m), dtype=real.dtype)
+        if spec.kind == "pred-variance":
+            return stats.var
+        if spec.kind == "pred":
+            return stats.mean
+        if spec.kind == "prob-ge":
+            return stats.prob_ge[_CUTOFFS.index(spec.cutoff)]
+        assert vals, "lookahead keys need rating_values"
+        stat = ("total-variance" if spec.kind == "exp-variance"
+                else "entropy-est")
+        return bpmf_hmc.lookahead_scores(
+            k, st, prob, cfg, stats, vals, stat=stat,
+            num_samps=lookahead_samps, warmup=lookahead_warmup,
+            n_base_samples=num_samps, candidate_tile=lookahead_tile,
+        ).reshape(n, m)
+
+    def refit(state, prob, k):
+        st, _ = state
+        st = bpmf_hmc.invalidate_mode(st, prob)
+        return sample(st, prob, k)
+
+    def err(state, prob):
+        if binary_acc:
+            return metrics.binary_misclassification(
+                state[1].mean, real, prob.test
+            )
+        return metrics.rmse_on(state[1].mean, real, prob.test)
+
+    key, ks = jax.random.split(key)
+    st0 = bpmf_hmc.init_state(problem, cfg, dtype=real.dtype)
+    state0 = sample(st0, problem, ks)
+    return run_scan(
+        problem, real, state0, score, refit, err, steps, key, spec.choose_max
+    )

@@ -170,9 +170,6 @@ def main(argv=None):
         from amf_tpu.active import scan_loop
         from amf_tpu.models import pmf as pmf_mod
 
-        if args.model != "vn":
-            sys.stderr.write("--scan currently supports --model vn only\n")
-            sys.exit(1)
         if args.fit_sigmas:
             sys.stderr.write("--scan does not support --fit-sigmas\n")
             sys.exit(1)
@@ -203,6 +200,7 @@ def main(argv=None):
             res, pst_final = scan_loop.run_active_scan(
                 problem, real, crit, n_queries,
                 jax.random.PRNGKey(args.seed), pcfg, lcfg=lcfg,
+                model=args.model,
             )
             # initial pre-query record, as in the loop path / reference
             recs = [(int(problem.n_rated), float(res.rmse0), None, None)]

@@ -35,6 +35,10 @@ def main(argv=None):
     parser.add_argument("--shard-candidates", type=int, default=0,
                         metavar="N_DEVICES",
                         help="shard lookahead candidates over an N-device mesh")
+    parser.add_argument("--scan", action="store_true", default=False,
+                        help="compile the whole sweep into one device "
+                             "program (fast path; per-step eval matrices "
+                             "are not recorded)")
     parser.add_argument("--test-set", default="all")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--float32", action="store_true")
@@ -64,6 +68,7 @@ def main(argv=None):
 
     platform_setup(use_x64=not args.float32)
 
+    import jax
     import jax.numpy as jnp
 
     from amf_tpu import types
@@ -99,28 +104,64 @@ def main(argv=None):
     problem = types.problem_from_ratings(ratings, real=real, test=test_on, dtype=dtype)
     problem = problem.replace(queryable=jnp.asarray(query_on))
 
-    mesh = None
-    if args.shard_candidates:
-        from amf_tpu.parallel.mesh import make_mesh
+    if args.scan:
+        from amf_tpu.active import scan_loop
+        from amf_tpu.models import bpmf_gibbs, pmf as pmf_mod
 
-        mesh = make_mesh(args.shard_candidates)
+        pcfg = pmf_mod.PMFConfig(
+            latent_d=args.latent_d, subtract_mean=args.subtract_mean
+        )
+        gcfg = bpmf_gibbs.GibbsConfig(
+            latent_d=args.latent_d, subtract_mean=args.subtract_mean
+        )
+        n_q = int(np.asarray(problem.queryable).sum())
+        n_queries = min((args.steps - 1) if args.steps else n_q, n_q)
+        results = {"_real": np.asarray(real), "_rating_vals": vals or None}
+        for kname in key_names:
+            res, _ = scan_loop.run_gibbs_scan(
+                problem, real, kname, n_queries,
+                jax.random.PRNGKey(args.seed), pcfg, gcfg,
+                num_samps=args.samps, rating_values=vals,
+                lookahead_samps=args.lookahead_samps,
+                lookahead_tile=args.lookahead_tile,
+            )
+            recs = [(int(problem.n_rated), float(res.rmse0), None, None)]
+            recs += [
+                (int(nr), float(err), (int(i), int(j)), None)
+                for nr, err, i, j, ok in zip(
+                    np.asarray(res.n_rated), np.asarray(res.rmse),
+                    np.asarray(res.picks_i), np.asarray(res.picks_j),
+                    np.asarray(res.valid),
+                )
+                if ok
+            ]
+            results[kname] = recs
+            if args.verbose:
+                print(f"{kname}: {len(recs)} records, rmse "
+                      f"{recs[0][1]:.4f} -> {recs[-1][1]:.4f}")
+    else:
+        mesh = None
+        if args.shard_candidates:
+            from amf_tpu.parallel.mesh import make_mesh
 
-    results = run_active_gibbs(
-        problem, real, key_names,
-        latent_d=args.latent_d,
-        rating_values=vals,
-        subtract_mean=args.subtract_mean,
-        num_samps=args.samps,
-        lookahead_samps=args.lookahead_samps,
-        lookahead_tile=args.lookahead_tile,
-        mesh=mesh,
-        steps=args.steps,
-        seed=args.seed,
-        fit_type=parse_fit_type(args.fit),
-        checkpoint_path=args.checkpoint,
-        dtype=dtype,
-        verbose=args.verbose,
-    )
+            mesh = make_mesh(args.shard_candidates)
+
+        results = run_active_gibbs(
+            problem, real, key_names,
+            latent_d=args.latent_d,
+            rating_values=vals,
+            subtract_mean=args.subtract_mean,
+            num_samps=args.samps,
+            lookahead_samps=args.lookahead_samps,
+            lookahead_tile=args.lookahead_tile,
+            mesh=mesh,
+            steps=args.steps,
+            seed=args.seed,
+            fit_type=parse_fit_type(args.fit),
+            checkpoint_path=args.checkpoint,
+            dtype=dtype,
+            verbose=args.verbose,
+        )
 
     if args.save_results:
         print(f"\nsaving results in '{args.save_results}'")

@@ -32,6 +32,10 @@ def main(argv=None):
     parser.add_argument("--shard-candidates", type=int, default=0,
                         metavar="N_DEVICES",
                         help="shard lookahead candidates over an N-device mesh")
+    parser.add_argument("--scan", action="store_true", default=False,
+                        help="compile the whole sweep into one device "
+                             "program (fast path; per-step eval matrices "
+                             "are not recorded; no PMF-MAP chain init)")
     parser.add_argument("--subtract-mean", action="store_true", default=True)
     parser.add_argument(
         "--no-subtract-mean", action="store_false", dest="subtract_mean"
@@ -102,32 +106,70 @@ def main(argv=None):
 
     binary_acc = set(vals) in ({-1.0, 1.0}, {0.0, 1.0})
 
-    mesh = None
-    if args.shard_candidates:
-        from amf_tpu.parallel.mesh import make_mesh
+    if args.scan:
+        import jax
 
-        mesh = make_mesh(args.shard_candidates)
+        from amf_tpu.active import scan_loop
+        from amf_tpu.models import bpmf_hmc
 
-    results = run_active_stan(
-        problem, real, key_names,
-        latent_d=args.latent_d,
-        rating_values=vals,
-        subtract_mean=args.subtract_mean,
-        num_samps=args.samps,
-        warmup=args.warmup,
-        chains=args.chains,
-        lookahead_samps=args.lookahead_samps,
-        lookahead_warmup=args.lookahead_warmup,
-        lookahead_tile=args.lookahead_tile,
-        mesh=mesh,
-        steps=args.steps,
-        seed=args.seed,
-        model_init_map=args.model_init,
-        checkpoint_path=args.checkpoint,
-        binary_acc=binary_acc,
-        dtype=dtype,
-        verbose=args.verbose,
-    )
+        cfg = bpmf_hmc.HMCConfig(
+            latent_d=args.latent_d, subtract_mean=args.subtract_mean
+        )
+        n_q = int(np.asarray(problem.queryable).sum())
+        n_queries = min((args.steps - 1) if args.steps else n_q, n_q)
+        results = {"_real": np.asarray(real), "_rating_vals": vals or None}
+        for kname in key_names:
+            res, _ = scan_loop.run_stan_scan(
+                problem, real, kname, n_queries,
+                jax.random.PRNGKey(args.seed), cfg,
+                num_samps=args.samps, warmup=args.warmup,
+                rating_values=vals,
+                lookahead_samps=args.lookahead_samps,
+                lookahead_warmup=args.lookahead_warmup,
+                lookahead_tile=args.lookahead_tile,
+                binary_acc=binary_acc,
+            )
+            recs = [(int(problem.n_rated), float(res.rmse0), None, None)]
+            recs += [
+                (int(nr), float(err), (int(i), int(j)), None)
+                for nr, err, i, j, ok in zip(
+                    np.asarray(res.n_rated), np.asarray(res.rmse),
+                    np.asarray(res.picks_i), np.asarray(res.picks_j),
+                    np.asarray(res.valid),
+                )
+                if ok
+            ]
+            results[kname] = recs
+            if args.verbose:
+                print(f"{kname}: {len(recs)} records, err "
+                      f"{recs[0][1]:.4f} -> {recs[-1][1]:.4f}")
+    else:
+        mesh = None
+        if args.shard_candidates:
+            from amf_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(args.shard_candidates)
+
+        results = run_active_stan(
+            problem, real, key_names,
+            latent_d=args.latent_d,
+            rating_values=vals,
+            subtract_mean=args.subtract_mean,
+            num_samps=args.samps,
+            warmup=args.warmup,
+            chains=args.chains,
+            lookahead_samps=args.lookahead_samps,
+            lookahead_warmup=args.lookahead_warmup,
+            lookahead_tile=args.lookahead_tile,
+            mesh=mesh,
+            steps=args.steps,
+            seed=args.seed,
+            model_init_map=args.model_init,
+            checkpoint_path=args.checkpoint,
+            binary_acc=binary_acc,
+            dtype=dtype,
+            verbose=args.verbose,
+        )
 
     if args.save_results:
         print(f"\nsaving results in '{args.save_results}'")

@@ -61,3 +61,51 @@ def test_scan_sweep_lookahead(rng, key):
         refit_budget=100, approx_budget=100,
     )
     assert np.isfinite(np.asarray(res.rmse)).all()
+
+
+def test_scan_sweep_mn_model(rng, key):
+    real, known, vals = make_fake_data(
+        num_users=5, num_items=5, rank=1, data_type=5, mask_type="diag", rng=rng
+    )
+    prob = types.problem_from_dense(real, known, dtype=jnp.float64)
+    pcfg = pmf.PMFConfig(latent_d=1)
+    crit = criteria.MN_KEY_FUNCS["pred-variance"]
+    res, _ = scan_loop.run_active_scan(
+        prob, real, crit, 3, key, pcfg, model="mn",
+        refit_budget=100, approx_budget=100,
+    )
+    assert np.isfinite(np.asarray(res.rmse)).all()
+
+
+def test_gibbs_scan_sweep(rng, key):
+    from amf_tpu.models import bpmf_gibbs
+
+    real, known, vals = make_fake_data(
+        num_users=6, num_items=6, rank=2, data_type=5, mask_type=0.4, rng=rng
+    )
+    prob = types.problem_from_dense(real, known, dtype=jnp.float64)
+    pcfg = pmf.PMFConfig(latent_d=2, subtract_mean=True)
+    gcfg = bpmf_gibbs.GibbsConfig(latent_d=2)
+    for kname in ("pred-variance", "exp-variance"):
+        res, _ = scan_loop.run_gibbs_scan(
+            prob, real, kname, 2, key, pcfg, gcfg,
+            num_samps=12, rating_values=tuple(vals), lookahead_samps=4,
+        )
+        assert np.isfinite(np.asarray(res.rmse)).all(), kname
+        assert np.asarray(res.valid).all(), kname
+
+
+def test_stan_scan_sweep(rng, key):
+    from amf_tpu.models import bpmf_hmc
+
+    real, known, vals = make_fake_data(
+        num_users=5, num_items=5, rank=2, data_type=5, mask_type=0.4, rng=rng
+    )
+    prob = types.problem_from_dense(real, known, dtype=jnp.float64)
+    cfg = bpmf_hmc.HMCConfig(latent_d=2, subtract_mean=True)
+    res, _ = scan_loop.run_stan_scan(
+        prob, real, "pred-variance", 2, key, cfg, num_samps=10, warmup=5,
+        rating_values=tuple(vals),
+    )
+    assert np.isfinite(np.asarray(res.rmse)).all()
+    assert np.asarray(res.valid).all()
