@@ -208,6 +208,7 @@ def _kernel_v2(
     val_ref,  # (LB, 8, 128) data-term accumulator (scalar at [l, 0, 0])
     *,
     lanes_per_block: int,
+    bf16_contract: bool,
 ):
     """Lane-blocked variant of ``_kernel``: one R/mask DMA feeds LB lanes.
 
@@ -251,13 +252,18 @@ def _kernel_v2(
         maskv = jnp.where(hit, 1.0, base_mask)
         err = maskv * (jnp.where(hit, dv_ref[lane], base_r) - pred)
         resid = err * inv_sig  # (bn, m)
+        if bf16_contract:
+            # keep the gradient contractions on the fast bf16 MXU path: a
+            # bf16 x f32 dot would silently promote the whole matmul to f32
+            # mode (~4x slower). f32 accumulation; scoring-grade precision.
+            resid = resid.astype(jnp.bfloat16)
 
         gut_ref[l] = (
             jax.lax.dot_general(
                 vt, resid, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (d, bn)
-            - ut / sigma_u_sq
+            - ut.astype(jnp.float32) / sigma_u_sq
         )
         gvt_part = jax.lax.dot_general(
             ut, resid, (((1,), (0,)), ((), ())),
@@ -336,7 +342,7 @@ def pmf_batched_value_grad_t(
     )
 
     gut, gvt, vals = pl.pallas_call(
-        functools.partial(_kernel_v2, lanes_per_block=LB),
+        functools.partial(_kernel_v2, lanes_per_block=LB, bf16_contract=bf16),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((L_pad, d, n_pad), jnp.float32),

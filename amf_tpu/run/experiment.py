@@ -100,12 +100,14 @@ def catalog() -> Dict[str, Experiment]:
             "mmmf": [
                 "amf_tpu.run.active_mmmf", "--load-data", "{data}",
                 "--cutoff", "3.5", "-C", "1",
+                "--checkpoint", "{out}/ckpt_mmmf.pkl",
                 "--save-results", "{out}/results_mmmf.pkl", "--no-verbose",
             ],
             # Makefile:158-166: --delta 1.5 --pred-mean, entropy random
             "rc": [
                 "amf_tpu.run.active_rc", "--load-data", "{data}",
                 "--delta", "1.5", "--pred-mode",
+                "--checkpoint", "{out}/ckpt_rc.pkl",
                 "--save-results", "{out}/results_rc.pkl", "--no-verbose",
                 "entropy", "random",
             ],
@@ -188,6 +190,7 @@ def catalog() -> Dict[str, Experiment]:
             "mmmf": [
                 "amf_tpu.run.active_mmmf", "--load-data", "{data}",
                 "-C", "1", "--cutoff", "3.5", "--steps", "200",
+                "--checkpoint", "{out}/ckpt_mmmf.pkl",
                 "--save-results", "{out}/results_mmmf.pkl", "--no-verbose",
             ],
         }
@@ -257,6 +260,7 @@ def catalog() -> Dict[str, Experiment]:
             "mmmf": [
                 "amf_tpu.run.active_mmmf", "--load-data", "{data}",
                 "-C", "1", "--steps", "150",
+                "--checkpoint", "{out}/ckpt_mmmf.pkl",
                 "--save-results", "{out}/results_mmmf.pkl", "--no-verbose",
                 "random", "min-margin", "min-margin-pos",
             ],
@@ -298,6 +302,7 @@ def catalog() -> Dict[str, Experiment]:
             "mmmf": [
                 "amf_tpu.run.active_mmmf", "--load-data", "{data}",
                 "-C", "1", "--steps", "200",
+                "--checkpoint", "{out}/ckpt_mmmf.pkl",
                 "--save-results", "{out}/results_mmmf.pkl", "--no-verbose",
             ],
         },
