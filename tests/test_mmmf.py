@@ -239,3 +239,51 @@ def test_maxnorm_active_loop_mode():
     for k in ("min-margin", "random"):
         assert len(res[k]) == 3
         assert all(np.isfinite(r[1]) for r in res[k])
+
+
+def test_sdpa_roundtrip(tmp_path):
+    """write_sdpa emits the reference's sparse-SDPA encoding (printSDPA.m),
+    and read_sdpa_solution recovers x/xu/xv from a CSDP-style solution file
+    built from our own ADMM optimum."""
+    import jax.numpy as jnp
+
+    from amf_tpu.models import mmmf, sdpa_io
+
+    rng = np.random.default_rng(7)
+    u = rng.normal(size=(5, 2))
+    v = rng.normal(size=(4, 2))
+    Y = np.sign(u @ v.T)
+    Y[rng.random((5, 4)) > 0.7] = 0.0
+    n, m = Y.shape
+    p = int((Y != 0).sum())
+
+    # --- export: structural checks against the format contract
+    fn = sdpa_io.write_sdpa(str(tmp_path / "prob"), Y, "a", C=1.5)
+    lines = open(fn).read().splitlines()
+    body = [l for l in lines if not l.startswith("*")]
+    assert body[0] == str(p)            # constraint count
+    assert body[1] == "3"               # blocks (slack allowed)
+    assert body[2].split() == [str(n + m), str(-p), str(-p)]
+    # max-norm variant adds the diagonal-tying constraints
+    fn_m = sdpa_io.write_sdpa(str(tmp_path / "prob"), Y, "m", C=1.5)
+    body_m = [l for l in open(fn_m).read().splitlines()
+              if not l.startswith("*")]
+    assert body_m[0] == str(p + n + m - 1)
+
+    # --- import: synthesize a CSDP-style solution from the ADMM optimum
+    st, _ = mmmf.solve(jnp.asarray(Y), mmmf.MMMFConfig(C=1.5, max_iters=500))
+    X = np.asarray(st.X)
+    xu, xv = (np.asarray(a) for a in mmmf.factors(st.X))
+    A, B = xu @ xu.T, xv @ xv.T
+    G = np.block([[A, X], [X.T, B]])
+    sol = tmp_path / "prob.sol"
+    with open(sol, "w") as f:
+        f.write(" ".join(["0.0"] * p) + "\n")
+        for i in range(n + m):
+            for j in range(i, n + m):
+                if G[i, j] != 0:
+                    f.write(f"2 1 {i + 1} {j + 1} {G[i, j]:.12f}\n")
+    x2, xu2, xv2, q = sdpa_io.read_sdpa_solution(str(sol), n)
+    np.testing.assert_allclose(x2, X, atol=1e-9)
+    np.testing.assert_allclose(xu2 @ xv2.T, X, atol=1e-6)
+    assert q.shape == (p,)
