@@ -30,7 +30,8 @@ N_CAND = 1024
 TILE = 128
 REFIT_STEPS = 8
 LANE_BLOCK = 8   # lanes per base-matrix DMA in the lane-blocked kernel
-BLOCK_ROWS = 512  # row-block height (best of the lb/br sweep on v5-class HW)
+BLOCK_ROWS = 256  # row-block height (v5e 16M VMEM bound with the bf16 resid buffer)
+# bf16-contract resid buffer; 256 is the sweep's best fitting config)
 
 _POOL_GLOBALS = {}
 
@@ -91,25 +92,29 @@ def main():
     # Fused lane-blocked Pallas path: base R/mask shared across lanes AND
     # DMA'd once per LANE_BLOCK lanes; per-lane deltas applied in-kernel, no
     # per-lane (n, m) intermediates in HBM; transposed (d, rows) factor
-    # layout; bf16 HBM streaming (f32 MXU accumulation).
+    # layout; bf16 HBM streaming (f32 MXU accumulation). The WHOLE candidate
+    # sweep is ONE device program (lax.map over memory-bounded tiles): a
+    # host->device dispatch costs ~30 ms on this tunnel, so per-tile
+    # dispatching would be latency-bound, not device-bound.
     @jax.jit
-    def tile_fn(di, dj, dv):
-        _, _, neg_ll = pmf.fit_lookahead_batch(
-            state, prob, di, dj, dv, cfg, max_steps=REFIT_STEPS,
-            lane_block=LANE_BLOCK, block_rows=BLOCK_ROWS, bf16=True,
-        )
-        return neg_ll
+    def score_all_fn(di, dj, dv):
+        def one_tile(args):
+            ti, tj, tv = args
+            _, _, neg_ll = pmf.fit_lookahead_batch(
+                state, prob, ti, tj, tv, cfg, max_steps=REFIT_STEPS,
+                lane_block=LANE_BLOCK, block_rows=BLOCK_ROWS, bf16=True,
+            )
+            return neg_ll
 
-    def score_all():
-        outs = []
-        for t in range(N_CAND // TILE):
-            s = slice(t * TILE, (t + 1) * TILE)
-            outs.append(tile_fn(di_all[s], dj_all[s], dv_all[s]))
-        return jnp.concatenate(outs)
+        shape = (-1, TILE)
+        return jax.lax.map(
+            one_tile,
+            (di.reshape(shape), dj.reshape(shape), dv.reshape(shape)),
+        ).ravel()
 
-    score_all()[0].block_until_ready()  # compile
+    score_all_fn(di_all, dj_all, dv_all).block_until_ready()  # compile
     t0 = time.perf_counter()
-    scores = score_all()
+    scores = score_all_fn(di_all, dj_all, dv_all)
     scores.block_until_ready()
     tpu_time = time.perf_counter() - t0
     tpu_scores_per_sec = N_CAND / tpu_time
@@ -125,14 +130,17 @@ def main():
 
     procs = min(multiprocessing.cpu_count(), 16)
     tasks = [divmod(int(c), m) for c in np.asarray(cand_all[: 4 * procs])]
-    with multiprocessing.Pool(
+    ctx = multiprocessing.get_context("spawn")  # fork is unsafe after JAX init
+    with ctx.Pool(
         procs, initializer=_pool_init, initargs=(U0, V0, rated, r_obs)
     ) as pool:
         pool.map(_pool_refit, tasks[:procs])  # warm the workers
-        t0 = time.perf_counter()
-        pool.map(_pool_refit, tasks)
-        pool_time = time.perf_counter() - t0
-    pool_scores_per_sec = len(tasks) / pool_time
+        rates = []
+        for _ in range(3):  # best-of-3 favors the baseline on a noisy host
+            t0 = time.perf_counter()
+            pool.map(_pool_refit, tasks)
+            rates.append(len(tasks) / (time.perf_counter() - t0))
+    pool_scores_per_sec = max(rates)
 
     print(
         json.dumps(
