@@ -324,6 +324,12 @@ def fit_lookahead_batch(
     if lane_block:
         U0 = U0.transpose(0, 2, 1)
         V0 = V0.transpose(0, 2, 1)
+        if bf16:
+            # carry factors AND grads at the streaming dtype: the propose/
+            # select bookkeeping between kernel calls is HBM-bound, so a
+            # bf16 carry halves it (scoring-grade; f32 stays exact)
+            U0 = U0.astype(jnp.bfloat16)
+            V0 = V0.astype(jnp.bfloat16)
     f0, gu0, gv0 = kernel(U0, V0)
 
     lr0 = jnp.full((L,), cfg.learning_rate, jnp.float32)
@@ -335,8 +341,8 @@ def fit_lookahead_batch(
 
     def body(c):
         U, V, gu, gv, lr, f, done, it = c
-        Up = U + lr[:, None, None] * gu
-        Vp = V + lr[:, None, None] * gv
+        Up = (U + lr[:, None, None] * gu).astype(U.dtype)
+        Vp = (V + lr[:, None, None] * gv).astype(V.dtype)
         fp, gup, gvp = kernel(Up, Vp)
         accept = jnp.isfinite(fp) & (fp < f) & ~done
         reject = ~accept & ~done
@@ -358,8 +364,8 @@ def fit_lookahead_batch(
         cond, body, (U0, V0, gu0, gv0, lr0, f0, done0, jnp.int32(0))
     )
     if lane_block:
-        U = U.transpose(0, 2, 1)
-        V = V.transpose(0, 2, 1)
+        U = U.transpose(0, 2, 1).astype(jnp.float32)
+        V = V.transpose(0, 2, 1).astype(jnp.float32)
     return U, V, f
 
 

@@ -204,8 +204,10 @@ def _kernel_v2(
     vt_ref,  # (LB, d, m)
     # outputs
     gut_ref,  # (LB, d, bn)
-    gvt_ref,  # (LB, d, m) accumulated over row blocks
+    gvt_ref,  # (LB, d, m) written at the last row block
     val_ref,  # (LB, 8, 128) data-term accumulator (scalar at [l, 0, 0])
+    gv_acc,  # VMEM scratch (LB, d, m) f32: row-block accumulator (keeps the
+    # accumulation in f32 even when the output stream is bf16)
     *,
     lanes_per_block: int,
     bf16_contract: bool,
@@ -264,7 +266,7 @@ def _kernel_v2(
                 preferred_element_type=jnp.float32,
             )  # (d, bn)
             - ut.astype(jnp.float32) / sigma_u_sq
-        )
+        ).astype(gut_ref.dtype)
         gvt_part = jax.lax.dot_general(
             ut, resid, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -273,13 +275,17 @@ def _kernel_v2(
 
         @pl.when(rblk == 0)
         def _():
-            gvt_ref[l] = gvt_part - vt / sigma_v_sq
+            gv_acc[l] = gvt_part - vt.astype(jnp.float32) / sigma_v_sq
             val_ref[l] = val_block
 
         @pl.when(rblk != 0)
         def _():
-            gvt_ref[l] = gvt_ref[l] + gvt_part
+            gv_acc[l] = gv_acc[l] + gvt_part
             val_ref[l] = val_ref[l] + val_block
+
+        @pl.when(rblk == pl.num_programs(1) - 1)
+        def _():
+            gvt_ref[l] = gv_acc[l].astype(gvt_ref.dtype)
 
 
 @functools.partial(
@@ -339,14 +345,18 @@ def pmf_batched_value_grad_t(
             pl.BlockSpec((LB, d, m), lambda lb, r, *_: (lb, 0, 0)),
             pl.BlockSpec((LB, 8, 128), lambda lb, r, *_: (lb, 0, 0)),
         ],
+        scratch_shapes=[pltpu.VMEM((LB, d, m), jnp.float32)],
     )
 
+    # grads carried at the streaming dtype: the while_loop's propose/select
+    # bookkeeping between kernel calls is HBM-bound, so bf16 grads halve it
+    grad_dtype = io_dtype
     gut, gvt, vals = pl.pallas_call(
         functools.partial(_kernel_v2, lanes_per_block=LB, bf16_contract=bf16),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((L_pad, d, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((L_pad, d, m), jnp.float32),
+            jax.ShapeDtypeStruct((L_pad, d, n_pad), grad_dtype),
+            jax.ShapeDtypeStruct((L_pad, d, m), grad_dtype),
             jax.ShapeDtypeStruct((L_pad, 8, 128), jnp.float32),
         ],
     )(
@@ -362,13 +372,13 @@ def pmf_batched_value_grad_t(
 
     gut = gut[:L, :, :n]
     gvt = gvt[:L]
-    Ut = Ut[:L, :, :n]
-    Vt = Vt[:L]
+    Ut32 = Ut[:L, :, :n].astype(jnp.float32)
+    Vt32 = Vt[:L].astype(jnp.float32)
     sigma_sq, sigma_u_sq, sigma_v_sq = sigmas[0], sigmas[1], sigmas[2]
     neg_ll = (
         vals[:L, 0, 0] / (2 * sigma_sq)
-        + jnp.sum(Ut * Ut, axis=(1, 2)) / (2 * sigma_u_sq)
-        + jnp.sum(Vt * Vt, axis=(1, 2)) / (2 * sigma_v_sq)
+        + jnp.sum(Ut32 * Ut32, axis=(1, 2)) / (2 * sigma_u_sq)
+        + jnp.sum(Vt32 * Vt32, axis=(1, 2)) / (2 * sigma_v_sq)
     )
     return neg_ll, gut, gvt
 
