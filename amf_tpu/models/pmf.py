@@ -282,6 +282,8 @@ def fit_lookahead_batch(
     bf16: bool = False,
     lane_block: int = 0,  # >0: lane-blocked kernel (LB lanes share one base
     # DMA; ops.pallas_kernels.pmf_batched_value_grad_t) — the fast TPU path
+    fused: bool = False,  # whole line search inside ONE pallas kernel
+    # (ops.pallas_kernels.pmf_lookahead_fused_t); requires lane_block>0
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Refit the MAP factors for L hypothesized (i, j, v) ratings at once.
 
@@ -302,6 +304,20 @@ def fit_lookahead_batch(
     sigmas = jnp.stack(
         [state.sigma_sq, state.sigma_u_sq, state.sigma_v_sq]
     ).astype(jnp.float32)
+    if fused and lane_block:
+        # single-kernel path: base factors in once, final factors out once,
+        # all line-search state in VMEM/SMEM scratch
+        ls_params = jnp.array(
+            [cfg.learning_rate, cfg.stop_thresh, cfg.min_learning_rate],
+            jnp.float32,
+        )
+        f, Ut, Vt = pk.pmf_lookahead_fused_t(
+            state.U.T.astype(jnp.float32), state.V.T.astype(jnp.float32),
+            problem.R_obs, problem.rated, delta_i, delta_j, delta_v,
+            sigmas, ls_params, max_steps=max_steps, block_rows=block_rows,
+            lanes_per_block=lane_block, bf16=bf16,
+        )
+        return Ut.transpose(0, 2, 1), Vt.transpose(0, 2, 1), f
     if lane_block:
         # transposed-factor carry: the lane-blocked kernel works in
         # (lane, d, rows) layout end to end; transpose once at the boundary

@@ -383,6 +383,291 @@ def pmf_batched_value_grad_t(
     return neg_ll, gut, gvt
 
 
+def _kernel_fused(
+    # scalar prefetch
+    di_ref,  # (L,) int32 delta row per lane
+    dj_ref,  # (L,) int32 delta col per lane
+    dv_ref,  # (L,) f32 delta value per lane
+    sig_ref,  # (3,) f32 [sigma_sq, sigma_u_sq, sigma_v_sq]
+    ls_ref,  # (3,) f32 [lr0, stop_thresh, min_lr]
+    # inputs (all resident: block index constant over the whole grid)
+    r_ref,  # (n_pad, m) base ratings — DMA'd ONCE for the entire sweep
+    mask_ref,  # (n_pad, m) base rated mask
+    ut0_ref,  # (d, n_pad) base U factors (shared start point of every lane)
+    vt0_ref,  # (d, m)
+    # outputs (written at the last step)
+    uo_ref,  # (LB, d, n_pad)
+    vo_ref,  # (LB, d, m)
+    fo_ref,  # (LB, 8, 128) final neg_ll at [l, 0, 0]
+    # scratch
+    u_s,  # VMEM (LB, d, n_pad) per-lane factor state, persists across steps
+    v_s,  # VMEM (LB, d, m)
+    gu_s,  # VMEM (LB, d, n_pad) gradients at the current accepted point
+    gv_s,  # VMEM (LB, d, m)
+    up_t,  # VMEM (d, n_pad) f32 proposal temp (reused lane by lane)
+    vp_t,  # VMEM (d, m) f32
+    gup_t,  # VMEM (d, n_pad) f32 proposal-gradient temp
+    gvp_t,  # VMEM (d, m) f32
+    f_s,  # SMEM (LB,) f32 current neg_ll per lane
+    lr_s,  # SMEM (LB,) f32 learning rate per lane
+    done_s,  # SMEM (LB,) int32 converged flag per lane
+    *,
+    lanes_per_block: int,
+    block_rows: int,
+    bf16_contract: bool,
+):
+    """The WHOLE adaptive line search in one kernel (see caller docstring).
+
+    Grid: (lane-blocks, 1 + max_steps); step 0 initializes per-lane state from
+    the shared base point, steps 1..max_steps propose/evaluate/select. All
+    line-search state lives in VMEM/SMEM scratch so HBM sees only: the base
+    matrices once, the factors in once, and the final factors/values out once.
+    Converged lanes skip their matmuls entirely (dynamic ``pl.when``) —
+    something the unfused host loop cannot do (it runs every lane until the
+    whole batch converges).
+    """
+    lane0 = pl.program_id(0) * lanes_per_block
+    step = pl.program_id(1)
+    last_step = pl.num_programs(1) - 1
+    n_pad = r_ref.shape[0]
+    m = r_ref.shape[1]
+    bn = block_rows
+    n_chunks = n_pad // bn
+
+    inv_sig = 1.0 / sig_ref[0]
+    sigma_sq = sig_ref[0]
+    sigma_u_sq = sig_ref[1]
+    sigma_v_sq = sig_ref[2]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bn, m), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bn, m), 1)
+    corner = (
+        jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0
+    ) & (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 0)
+
+    cdt = jnp.bfloat16 if bf16_contract else jnp.float32
+
+    def eval_point(lane):
+        """neg_ll + ascent grads at (up_t, vp_t); writes gup_t/gvp_t."""
+        pv = vp_t[...]
+        pv_c = pv.astype(cdt)
+        sqerr = jnp.float32(0.0)
+        for c in range(n_chunks):
+            pu_c = up_t[:, c * bn:(c + 1) * bn].astype(cdt)  # (d, bn)
+            pred = jax.lax.dot_general(
+                pu_c, pv_c, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (bn, m)
+            di = di_ref[lane] - c * bn
+            hit = (rows == di) & (cols == dj_ref[lane])
+            base_mask = mask_ref[c * bn:(c + 1) * bn, :].astype(jnp.float32)
+            base_r = r_ref[c * bn:(c + 1) * bn, :].astype(jnp.float32)
+            maskv = jnp.where(hit, 1.0, base_mask)
+            err = maskv * (jnp.where(hit, dv_ref[lane], base_r) - pred)
+            resid = (err * inv_sig).astype(cdt)
+            gup_t[:, c * bn:(c + 1) * bn] = jax.lax.dot_general(
+                pv_c, resid, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) - up_t[:, c * bn:(c + 1) * bn] / sigma_u_sq
+            gvp_part = jax.lax.dot_general(
+                pu_c, resid, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (d, m)
+            if c == 0:
+                gvp_t[...] = gvp_part - pv / sigma_v_sq
+            else:
+                gvp_t[...] = gvp_t[...] + gvp_part
+            sqerr = sqerr + jnp.sum(err * err)
+        return (
+            sqerr / (2 * sigma_sq)
+            + jnp.sum(up_t[...] * up_t[...]) / (2 * sigma_u_sq)
+            + jnp.sum(pv * pv) / (2 * sigma_v_sq)
+        )
+
+    @pl.when(step == 0)
+    def _init():
+        for l in range(lanes_per_block):
+            lane = lane0 + l
+            up_t[...] = ut0_ref[...].astype(jnp.float32)
+            vp_t[...] = vt0_ref[...].astype(jnp.float32)
+            f0 = eval_point(lane)
+            u_s[l] = up_t[...].astype(u_s.dtype)
+            v_s[l] = vp_t[...].astype(v_s.dtype)
+            gu_s[l] = gup_t[...].astype(gu_s.dtype)
+            gv_s[l] = gvp_t[...].astype(gv_s.dtype)
+            f_s[l] = f0
+            lr_s[l] = ls_ref[0]
+            done_s[l] = 0
+
+    @pl.when(step != 0)
+    def _step():
+        for l in range(lanes_per_block):
+            lane = lane0 + l
+
+            @pl.when(done_s[l] == 0)
+            def _():
+                lr = lr_s[l]
+                up_t[...] = u_s[l].astype(jnp.float32) + lr * gu_s[l].astype(
+                    jnp.float32
+                )
+                vp_t[...] = v_s[l].astype(jnp.float32) + lr * gv_s[l].astype(
+                    jnp.float32
+                )
+                fp = eval_point(lane)
+                f_old = f_s[l]
+                accept = jnp.isfinite(fp) & (fp < f_old)
+                conv = jnp.where(
+                    accept, (f_old - fp) < ls_ref[1], lr * 0.5 < ls_ref[2]
+                )
+
+                @pl.when(accept)
+                def _():
+                    u_s[l] = up_t[...].astype(u_s.dtype)
+                    v_s[l] = vp_t[...].astype(v_s.dtype)
+                    gu_s[l] = gup_t[...].astype(gu_s.dtype)
+                    gv_s[l] = gvp_t[...].astype(gv_s.dtype)
+                    f_s[l] = fp
+                    lr_s[l] = lr * 1.25
+
+                @pl.when(jnp.logical_not(accept))
+                def _():
+                    lr_s[l] = lr * 0.5
+
+                done_s[l] = conv.astype(jnp.int32)
+
+    @pl.when(step == last_step)
+    def _writeout():
+        for l in range(lanes_per_block):
+            uo_ref[l] = u_s[l].astype(uo_ref.dtype)
+            vo_ref[l] = v_s[l].astype(vo_ref.dtype)
+            fo_ref[l] = jnp.where(corner, f_s[l], 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_steps", "block_rows", "lanes_per_block", "bf16"),
+)
+def pmf_lookahead_fused_t(
+    Ut0: jax.Array,  # (d, n) base factors — every lane starts here
+    Vt0: jax.Array,  # (d, m)
+    R: jax.Array,  # (n, m) base observed values (shared)
+    rated: jax.Array,  # (n, m) base rated mask (shared)
+    delta_i: jax.Array,  # (L,) int32
+    delta_j: jax.Array,  # (L,) int32
+    delta_v: jax.Array,  # (L,) f32
+    sigmas: jax.Array,  # (3,) [sigma_sq, sigma_u_sq, sigma_v_sq]
+    ls_params: jax.Array,  # (3,) [lr0, stop_thresh, min_lr]
+    max_steps: int,
+    block_rows: int = 256,
+    lanes_per_block: int = 8,
+    bf16: bool = True,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Whole-line-search fused lookahead refit: ONE pallas_call per sweep.
+
+    Equivalent to ``models.pmf.fit_lookahead_batch``'s kernel-per-step
+    while_loop (same adaptive accept/reject trajectory, reference semantics
+    python-pmf/pmf.py:194-224) but with the entire loop inside the kernel:
+    the base R/mask are DMA'd to VMEM once for ALL lanes and steps, and the
+    per-step factor/gradient round-trips through HBM (~1 MB/lane-step)
+    vanish — HBM sees only the base matrices once plus the final per-lane
+    factors out.
+
+    MEASURED NEGATIVE RESULT on v5e (BENCHMARKS.md "kernel headroom"): the
+    bench workload is compute-bound at the d=10 MXU roofline (~10% MXU
+    utilization from the 10-wide contraction), not HBM-bound, so removing
+    the HBM traffic buys nothing while the resident base matrices force
+    block_rows=128 (VMEM) and the per-lane dynamic branches break Mosaic's
+    matmul pipelining: 12.4k scores/s vs 23.3k for the per-step
+    ``pmf_batched_value_grad_t`` path on identical inputs (bit-identical
+    scores, rel diff ~1e-7). Kept as the exact, tested fallback for shapes
+    where the balance differs (larger d raises the compute roofline; the
+    per-step path's HBM bill grows with n*m). The production path remains
+    the unfused kernel.
+
+    Returns (neg_ll (L,), Ut (L, d, n), Vt (L, d, m)).
+    """
+    L = delta_i.shape[0]
+    d, n = Ut0.shape
+    m = Vt0.shape[1]
+    bn = min(block_rows, _round_up(n, 8))
+    n_pad = _round_up(n, bn)
+    LB = lanes_per_block
+    L_pad = _round_up(L, LB)
+
+    io_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    R32 = R.astype(io_dtype)
+    mask32 = rated.astype(io_dtype)
+    if n_pad != n:
+        R32 = jnp.pad(R32, ((0, n_pad - n), (0, 0)))
+        mask32 = jnp.pad(mask32, ((0, n_pad - n), (0, 0)))
+        Ut0 = jnp.pad(Ut0, ((0, 0), (0, n_pad - n)))
+    if L_pad != L:
+        padL = lambda x: jnp.pad(x, ((0, L_pad - L),))
+        delta_i, delta_j, delta_v = padL(delta_i), padL(delta_j), padL(delta_v)
+
+    grid = (L_pad // LB, 1 + max_steps)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n_pad, m), lambda lb, s, *_: (0, 0)),
+            pl.BlockSpec((n_pad, m), lambda lb, s, *_: (0, 0)),
+            pl.BlockSpec((d, n_pad), lambda lb, s, *_: (0, 0)),
+            pl.BlockSpec((d, m), lambda lb, s, *_: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((LB, d, n_pad), lambda lb, s, *_: (lb, 0, 0)),
+            pl.BlockSpec((LB, d, m), lambda lb, s, *_: (lb, 0, 0)),
+            pl.BlockSpec((LB, 8, 128), lambda lb, s, *_: (lb, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((LB, d, n_pad), io_dtype),
+            pltpu.VMEM((LB, d, m), io_dtype),
+            pltpu.VMEM((LB, d, n_pad), io_dtype),
+            pltpu.VMEM((LB, d, m), io_dtype),
+            pltpu.VMEM((d, n_pad), jnp.float32),
+            pltpu.VMEM((d, m), jnp.float32),
+            pltpu.VMEM((d, n_pad), jnp.float32),
+            pltpu.VMEM((d, m), jnp.float32),
+            pltpu.SMEM((LB,), jnp.float32),
+            pltpu.SMEM((LB,), jnp.float32),
+            pltpu.SMEM((LB,), jnp.int32),
+        ],
+    )
+
+    uo, vo, fo = pl.pallas_call(
+        functools.partial(
+            _kernel_fused,
+            lanes_per_block=LB,
+            block_rows=bn,
+            bf16_contract=bf16,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((L_pad, d, n_pad), io_dtype),
+            jax.ShapeDtypeStruct((L_pad, d, m), io_dtype),
+            jax.ShapeDtypeStruct((L_pad, 8, 128), jnp.float32),
+        ],
+    )(
+        delta_i.astype(jnp.int32),
+        delta_j.astype(jnp.int32),
+        delta_v.astype(jnp.float32),
+        sigmas.astype(jnp.float32),
+        ls_params.astype(jnp.float32),
+        R32,
+        mask32,
+        Ut0.astype(io_dtype),
+        Vt0.astype(io_dtype),
+    )
+
+    return (
+        fo[:L, 0, 0],
+        uo[:L, :, :n].astype(jnp.float32),
+        vo[:L].astype(jnp.float32),
+    )
+
+
 def pmf_batched_value_grad_reference(
     U, V, R, rated, delta_i, delta_j, delta_v, sigmas
 ):

@@ -142,6 +142,53 @@ def test_lane_blocked_kernel_matches_reference(rng, monkeypatch):
     )
 
 
+def test_fused_linesearch_kernel_matches_unfused(rng, monkeypatch):
+    """The whole-line-search kernel (v3) reproduces the kernel-per-step
+    while_loop trajectory exactly in f32: same accepts, same rejects, same
+    final factors/values — including lane padding and early-converged lanes
+    (large max_steps forces every lane through its done branch)."""
+    from amf_tpu import types
+    from amf_tpu.models import pmf
+
+    _interp(monkeypatch)
+    n, m, d = 13, 9, 3
+    R = jnp.asarray(rng.integers(1, 6, size=(n, m)), jnp.float32)
+    rated = jnp.asarray(rng.random((n, m)) < 0.5)
+    prob = types.Problem(
+        R_obs=jnp.where(rated, R, 0.0), rated=rated,
+        queryable=~rated, test=rated,
+    )
+    cfg = pmf.PMFConfig(latent_d=d)
+    st = pmf.init_state(jax.random.PRNGKey(0), n, m, cfg, prob,
+                        dtype=jnp.float32)
+    st, _ = pmf.fit(st, prob, cfg)
+    di = jnp.asarray([0, 5, 12], jnp.int32)
+    dj = jnp.asarray([1, 8, 0], jnp.int32)
+    dv = jnp.asarray([3.0, 1.0, 5.0], jnp.float32)
+
+    U_a, V_a, f_a = pmf.fit_lookahead_batch(
+        st, prob, di, dj, dv, cfg, max_steps=40, use_pallas=False)
+
+    sigmas = jnp.stack([st.sigma_sq, st.sigma_u_sq, st.sigma_v_sq])
+    ls = jnp.array(
+        [cfg.learning_rate, cfg.stop_thresh, cfg.min_learning_rate],
+        jnp.float32,
+    )
+    f_b, Ut_b, Vt_b = pk.pmf_lookahead_fused_t.__wrapped__(
+        st.U.T, st.V.T, prob.R_obs, prob.rated, di, dj, dv, sigmas, ls,
+        max_steps=40, block_rows=8, lanes_per_block=2, bf16=False,
+    )
+    np.testing.assert_allclose(np.asarray(f_b), np.asarray(f_a), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(Ut_b.transpose(0, 2, 1)), np.asarray(U_a), rtol=1e-3,
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(Vt_b.transpose(0, 2, 1)), np.asarray(V_a), rtol=1e-3,
+        atol=1e-5,
+    )
+
+
 def test_fit_lookahead_batch_lane_block_matches_plain(rng, monkeypatch):
     """The lane-blocked fit path returns the same refit trajectory as the
     oracle-backed path (same accept/reject arithmetic in f32)."""
