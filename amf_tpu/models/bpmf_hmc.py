@@ -42,6 +42,13 @@ class HMCConfig(NamedTuple):
     beta_0: float = 2.0
     # nu_0 = latent_d, mu_0 = 0, w_0 = I (the w0identity model)
     max_depth: int = 8
+    # density variant (reference --model-filename, stan-bpmf/bpmf.py:739-742):
+    # 'w0identity' = bpmf_w0identity.stan (default; skips the w_0 solves);
+    # 'bpmf' = the general bpmf.stan construction with w_0 = I supplied as
+    # data (the only w_0 the reference ever passes, bpmf.py:193) — same
+    # posterior, exercises the general cov_L = A^{-1} chol(w_0)^{-1} path.
+    # Arbitrary w_0 / mu_0 / nu_0 are available via log_posterior's args.
+    model: str = "w0identity"
 
 
 class ParamShapes(NamedTuple):
@@ -136,12 +143,21 @@ def _prior_logp_half(
     z: jax.Array,
     cfg: HMCConfig,
     d: int,
+    w0_chol: Optional[jax.Array] = None,  # chol(w_0); None = identity
+    mu_0: Optional[jax.Array] = None,  # None = zeros
+    nu_0: Optional[float] = None,  # None = d (the reference default)
 ) -> jax.Array:
     """Log prior for one side (U or V): chi2/normal Wishart-factor prior,
-    standardized mean, and multi_normal_cholesky factor prior."""
+    standardized mean, and multi_normal_cholesky factor prior.
+
+    The default arguments give bpmf_w0identity.stan; passing w0_chol /
+    mu_0 / nu_0 gives the general model (bpmf.stan:66-127): the covariance
+    Cholesky factor becomes ``cov_L = A^{-1} chol(w_0)^{-1}``
+    (bpmf.stan:104-105 ``mdivide_left_tri_low(cov_A, w_0_L_inv)``) and the
+    factor-mean shifts by mu_0 (bpmf.stan:115-116)."""
     dtype = feats.dtype
     c = jnp.exp(log_c)
-    nu = jnp.asarray(d, dtype)
+    nu = jnp.asarray(d if nu_0 is None else nu_0, dtype)
     k = nu - jnp.arange(d, dtype=dtype)  # nu_0 - i + 1, i = 1..d
 
     # c_i ~ chi2(k_i), plus log|dc/dlog_c| = sum(log_c)
@@ -151,12 +167,86 @@ def _prior_logp_half(
     lp = lp - 0.5 * jnp.sum((mu_std * cfg.beta_0) ** 2)
 
     a = _tri_from(z, jnp.sqrt(c), d)
-    # L = A^{-1}; mu = L mu_std; x_i ~ MVN(mu, L L^T)
-    # log|L| = -log|A| = -0.5 sum(log c); quadratic via A (x - mu)
     rows = feats.shape[0]
-    mu = jax.scipy.linalg.solve_triangular(a, mu_std, lower=True)
-    resid = (feats - mu) @ a.T  # A (x_i - mu) for all rows at once
-    lp = lp + rows * 0.5 * jnp.sum(log_c) - 0.5 * jnp.sum(resid * resid)
+    if w0_chol is None:
+        # L = A^{-1}; mu = L mu_std; x_i ~ MVN(mu, L L^T)
+        # log|L| = -log|A| = -0.5 sum(log c); quadratic via A (x - mu)
+        mu = jax.scipy.linalg.solve_triangular(a, mu_std, lower=True)
+        resid = (feats - mu) @ a.T  # A (x_i - mu) for all rows at once
+        lp = lp + rows * 0.5 * jnp.sum(log_c) - 0.5 * jnp.sum(resid * resid)
+    else:
+        # general w_0: L = A^{-1} W_L^{-1} so L^{-1} = W_L A and
+        # log|L| = -0.5 sum(log c) - sum(log diag(W_L))
+        w0_chol = w0_chol.astype(dtype)
+        mu = jax.scipy.linalg.solve_triangular(
+            a,
+            jax.scipy.linalg.solve_triangular(w0_chol, mu_std, lower=True),
+            lower=True,
+        )
+        if mu_0 is not None:
+            mu = mu_0.astype(dtype) + mu
+        resid = (feats - mu) @ (w0_chol @ a).T  # L^{-1} (x_i - mu)
+        lp = (
+            lp
+            + rows * (0.5 * jnp.sum(log_c)
+                      + jnp.sum(jnp.log(jnp.diag(w0_chol))))
+            - 0.5 * jnp.sum(resid * resid)
+        )
+    return lp
+
+
+def _prior_logp_half_straightforward(
+    feats: jax.Array,  # (rows, d)
+    mu: jax.Array,  # (d,) — the factor mean DIRECTLY (no standardization)
+    log_diag: jax.Array,  # (d,) log diag of chol(cov)
+    z: jax.Array,  # strict lower of chol(cov)
+    cfg: HMCConfig,
+    d: int,
+    w0_chol: Optional[jax.Array] = None,
+    mu_0: Optional[jax.Array] = None,
+    nu_0: Optional[float] = None,
+) -> jax.Array:
+    """One side of bpmf_straightforward.stan:41-58 — the naive
+    centered parameterization: cov ~ inv_wishart(nu_0, w_0) on a
+    Cholesky-with-log-diagonal unconstrained cov (Stan's cov_matrix
+    transform; Jacobian sum_i (d - i + 2) log L_ii), mu ~
+    multi_normal(mu_0, cov / beta_0), rows ~ multi_normal(mu, cov).
+    Same posterior over (U, V) as the reparameterized models; kept for
+    parity with the reference's comparison model. (The reference's .stan
+    file itself declares V as n_users x rank — a latent bug that keeps it
+    from compiling on rectangular problems; we implement the intended
+    density.)"""
+    dtype = feats.dtype
+    nu = jnp.asarray(d if nu_0 is None else nu_0, dtype)
+    rows = feats.shape[0]
+    L = _tri_from(z, jnp.exp(log_diag), d)
+    logdet_cov = 2.0 * jnp.sum(log_diag)
+
+    # inv_wishart(nu_0, w_0): -(nu+d+1)/2 log|S| - tr(w_0 S^{-1})/2
+    if w0_chol is None:
+        Linv = jax.scipy.linalg.solve_triangular(
+            L, jnp.eye(d, dtype=dtype), lower=True
+        )
+        tr_term = jnp.sum(Linv * Linv)
+    else:
+        LiW = jax.scipy.linalg.solve_triangular(
+            L, w0_chol.astype(dtype), lower=True
+        )
+        tr_term = jnp.sum(LiW * LiW)
+    lp = -(nu + d + 1) / 2 * logdet_cov - 0.5 * tr_term
+    # cov_matrix Cholesky-log-diag Jacobian (constants dropped)
+    lp = lp + jnp.sum(
+        (d - jnp.arange(d, dtype=dtype) + 1) * log_diag
+    )  # (d - i + 2) for i = 1..d
+
+    mu_c = mu - (0.0 if mu_0 is None else mu_0.astype(dtype))
+    wmu = jax.scipy.linalg.solve_triangular(L, mu_c, lower=True)
+    lp = lp - 0.5 * logdet_cov - 0.5 * cfg.beta_0 * jnp.sum(wmu * wmu)
+
+    resid = jax.scipy.linalg.solve_triangular(
+        L, (feats - mu).T, lower=True
+    )
+    lp = lp - 0.5 * rows * logdet_cov - 0.5 * jnp.sum(resid * resid)
     return lp
 
 
@@ -166,11 +256,36 @@ def log_posterior(
     mean_rating,
     cfg: HMCConfig,
     shapes: ParamShapes,
+    w0_chol: Optional[jax.Array] = None,
+    mu_0: Optional[jax.Array] = None,
+    nu_0: Optional[float] = None,
 ) -> jax.Array:
+    if w0_chol is None and cfg.model == "bpmf":
+        # general-model path with the reference's w_0 = I data
+        w0_chol = jnp.eye(shapes.d, dtype=q.dtype)
     p = unpack(q, shapes)
-    lp = _prior_logp_half(p["U"], p["mu_u_std"], p["log_c_u"], p["z_u"], cfg, shapes.d)
+    if cfg.model == "straightforward":
+        # same unconstrained dimension; blocks reinterpreted (mu directly,
+        # chol(cov) log-diag / strict-lower)
+        lp = _prior_logp_half_straightforward(
+            p["U"], p["mu_u_std"], p["log_c_u"], p["z_u"], cfg, shapes.d,
+            w0_chol=w0_chol, mu_0=mu_0, nu_0=nu_0,
+        )
+        lp = lp + _prior_logp_half_straightforward(
+            p["V"], p["mu_v_std"], p["log_c_v"], p["z_v"], cfg, shapes.d,
+            w0_chol=w0_chol, mu_0=mu_0, nu_0=nu_0,
+        )
+        pred = p["U"] @ p["V"].T
+        r = problem.R_obs - (mean_rating if cfg.subtract_mean else 0.0)
+        err = jnp.where(problem.rated, r - pred, 0.0)
+        return lp - 0.5 * jnp.sum(err * err) / cfg.rating_std**2
+    lp = _prior_logp_half(
+        p["U"], p["mu_u_std"], p["log_c_u"], p["z_u"], cfg, shapes.d,
+        w0_chol=w0_chol, mu_0=mu_0, nu_0=nu_0,
+    )
     lp = lp + _prior_logp_half(
-        p["V"], p["mu_v_std"], p["log_c_v"], p["z_v"], cfg, shapes.d
+        p["V"], p["mu_v_std"], p["log_c_v"], p["z_v"], cfg, shapes.d,
+        w0_chol=w0_chol, mu_0=mu_0, nu_0=nu_0,
     )
     pred = p["U"] @ p["V"].T
     r = problem.R_obs - (mean_rating if cfg.subtract_mean else 0.0)

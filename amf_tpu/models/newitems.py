@@ -70,10 +70,16 @@ def log_posterior(
     s: NewItemsShapes,
 ) -> jax.Array:
     """bpmf_newitems_w0identity.stan: V_fixed and V_new share the sampled
-    item hyperprior; likelihood over observed new-item cells only."""
+    item hyperprior; likelihood over observed new-item cells only.
+    cfg.model == 'bpmf' uses the general bpmf_newitems.stan construction
+    (w_0 = I data — the only w_0 the reference passes)."""
     p = unpack(q, s)
     feats = jnp.concatenate([V_fixed.astype(q.dtype), p["V_new"]], axis=0)
-    lp = _prior_logp_half(feats, p["mu_v_std"], p["log_c_v"], p["z_v"], cfg, s.d)
+    w0_chol = jnp.eye(s.d, dtype=q.dtype) if cfg.model == "bpmf" else None
+    lp = _prior_logp_half(
+        feats, p["mu_v_std"], p["log_c_v"], p["z_v"], cfg, s.d,
+        w0_chol=w0_chol,
+    )
     pred = U_fixed.astype(q.dtype) @ p["V_new"].T
     r = problem_new.R_obs - (mean_rating if cfg.subtract_mean else 0.0)
     err = jnp.where(problem_new.rated, r - pred, 0.0)

@@ -44,6 +44,12 @@ def main(argv=None):
                         help="initialize chains at a PMF MAP fit")
     parser.add_argument("--no-model-init", action="store_false",
                         dest="model_init")
+    parser.add_argument(
+        "--model-filename", default="bpmf_w0identity.stan",
+        help="density variant, by reference .stan filename "
+             "(stan-bpmf/bpmf.py:739-742): bpmf_w0identity.stan (default), "
+             "bpmf.stan (general-w_0 construction, w_0 = I data), "
+             "bpmf_straightforward.stan (naive centered parameterization)")
     parser.add_argument("--test-set", default="all")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--float32", action="store_true")
@@ -106,6 +112,19 @@ def main(argv=None):
 
     binary_acc = set(vals) in ({-1.0, 1.0}, {0.0, 1.0})
 
+    model_by_file = {
+        "bpmf_w0identity.stan": "w0identity",
+        "bpmf.stan": "bpmf",
+        "bpmf_straightforward.stan": "straightforward",
+    }
+    if args.model_filename not in model_by_file:
+        sys.stderr.write(
+            f"Unknown --model-filename {args.model_filename}; options are "
+            f"{', '.join(sorted(model_by_file))}.\n"
+        )
+        sys.exit(1)
+    model_variant = model_by_file[args.model_filename]
+
     if args.scan:
         import jax
 
@@ -113,7 +132,8 @@ def main(argv=None):
         from amf_tpu.models import bpmf_hmc
 
         cfg = bpmf_hmc.HMCConfig(
-            latent_d=args.latent_d, subtract_mean=args.subtract_mean
+            latent_d=args.latent_d, subtract_mean=args.subtract_mean,
+            model=model_variant,
         )
         n_q = int(np.asarray(problem.queryable).sum())
         n_queries = min((args.steps - 1) if args.steps else n_q, n_q)
@@ -150,11 +170,17 @@ def main(argv=None):
 
             mesh = make_mesh(args.shard_candidates)
 
+        from amf_tpu.models import bpmf_hmc
+
         results = run_active_stan(
             problem, real, key_names,
             latent_d=args.latent_d,
             rating_values=vals,
             subtract_mean=args.subtract_mean,
+            cfg=bpmf_hmc.HMCConfig(
+                latent_d=args.latent_d, subtract_mean=args.subtract_mean,
+                model=model_variant,
+            ),
             num_samps=args.samps,
             warmup=args.warmup,
             chains=args.chains,

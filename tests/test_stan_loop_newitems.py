@@ -74,3 +74,23 @@ def test_newitems_two_phase(key):
     # cold-start fit should beat predicting the global mean
     base = np.sqrt(np.mean((float(mr) - real[:, new_cols])[rated] ** 2))
     assert err < base
+
+
+def test_newitems_general_w0_identity_equivalence():
+    """bpmf_newitems.stan's general construction with w_0 = I is the same
+    density as newitems_w0identity (the configuration the reference runs)."""
+    rng = np.random.default_rng(11)
+    s = newitems.NewItemsShapes(n=6, m_new=3, d=2)
+    q = jnp.asarray(rng.normal(size=s.dim) * 0.4)
+    U_fixed = jnp.asarray(rng.normal(size=(6, 2)))
+    V_fixed = jnp.asarray(rng.normal(size=(4, 2)))
+    real = rng.integers(1, 6, size=(6, 3)).astype(float)
+    known = rng.random((6, 3)) < 0.5
+    prob = types.problem_from_dense(real, known, dtype=jnp.float64)
+    lps = [
+        float(newitems.log_posterior(
+            q, prob, U_fixed, V_fixed, 0.0,
+            bpmf_hmc.HMCConfig(latent_d=2, model=model), s))
+        for model in ("w0identity", "bpmf")
+    ]
+    assert lps[0] == pytest.approx(lps[1], rel=1e-10)
