@@ -30,6 +30,8 @@ class SweepResult(NamedTuple):
     picks_j: jax.Array  # (steps,)
     valid: jax.Array  # (steps,) False once the pool is exhausted
     rmse0: jax.Array  # scalar: pre-query RMSE after the initial fit
+    evals: Optional[jax.Array] = None  # (steps, n, m) criterion maps
+    # (NaN off-pool), present when run_scan(record_evals=True)
 
 
 def run_scan(
@@ -42,10 +44,16 @@ def run_scan(
     steps: int,
     key: jax.Array,
     maximize: bool,
+    record_evals: bool = False,
 ) -> Tuple[SweepResult, object]:
     """The whole {score, pick, query, refit} sweep as one ``lax.scan`` —
     zero host synchronization per step, states never leave HBM. Shared by
-    every model family (the scan analogue of active/driver.drive_active)."""
+    every model family (the scan analogue of active/driver.drive_active).
+
+    record_evals=True additionally stacks each step's full criterion map
+    into the result (the non-scan loops' per-step evals records, used by
+    plot_criteria_over_time — reference plot_results.py:222). Costs
+    steps*n*m device memory; leave off for large problems."""
     n, m = problem.shape
 
     def step(carry, k):
@@ -65,14 +73,16 @@ def run_scan(
         )
         state = refit(state, prob, k_refit)
         out = (prob.n_rated, err(state, prob), i, j, any_left)
+        if record_evals:
+            out += (ev,)  # raw criterion map (lookahead scorers NaN off-pool)
         return (prob, state), out
 
     err0 = err(state0, problem)
     keys = jax.random.split(key, steps)
-    (prob, state), (nr, errs, pi, pj, valid) = jax.lax.scan(
-        step, (problem, state0), keys
-    )
-    return SweepResult(nr, errs, pi, pj, valid, err0), state
+    (prob, state), outs = jax.lax.scan(step, (problem, state0), keys)
+    nr, errs, pi, pj, valid = outs[:5]
+    evals = outs[5] if record_evals else None
+    return SweepResult(nr, errs, pi, pj, valid, err0, evals), state
 
 
 def run_active_scan(
@@ -87,6 +97,7 @@ def run_active_scan(
     refit_budget: int = 2000,
     approx_budget: int = 2000,
     model: str = "vn",  # 'vn' (ActivePMF) | 'mn' (MNActivePMF)
+    record_evals: bool = False,
 ) -> Tuple[SweepResult, pmf.PMFState]:
     """Variational-family scan sweep (every vn/mn criterion; lookahead
     criteria need lcfg). Returns per-step traces and the final carry."""
@@ -133,7 +144,7 @@ def run_active_scan(
 
     res, (pst, ast) = run_scan(
         problem, real, (pst0, ast0), score, refit, err, steps, key,
-        crit.maximize,
+        crit.maximize, record_evals=record_evals,
     )
     return res, pst
 
@@ -150,6 +161,7 @@ def run_gibbs_scan(
     rating_values: Tuple[float, ...] = (),
     lookahead_samps: int = 30,
     lookahead_tile: int = 0,
+    record_evals: bool = False,
 ) -> Tuple[SweepResult, object]:
     """Gibbs-BPMF scan sweep: every KEYS criterion, incl. the exp-variance
     MCMC lookahead, as one device program."""
@@ -200,7 +212,8 @@ def run_gibbs_scan(
     pst0, _ = pmf.fit(pst0, problem, pcfg)
     state0 = (pst0, sample(pst0, problem, ks))
     return run_scan(
-        problem, real, state0, score, refit, err, steps, key, spec.choose_max
+        problem, real, state0, score, refit, err, steps, key, spec.choose_max,
+        record_evals=record_evals,
     )
 
 
@@ -218,6 +231,7 @@ def run_stan_scan(
     lookahead_warmup: int = 15,
     lookahead_tile: int = 0,
     binary_acc: bool = False,
+    record_evals: bool = False,
 ) -> Tuple[SweepResult, object]:
     """NUTS-BPMF scan sweep: every KEYS criterion, incl. the NUTS-per-lane
     lookaheads, as one device program."""
@@ -274,5 +288,6 @@ def run_stan_scan(
     st0 = bpmf_hmc.init_state(problem, cfg, dtype=real.dtype)
     state0 = sample(st0, problem, ks)
     return run_scan(
-        problem, real, state0, score, refit, err, steps, key, spec.choose_max
+        problem, real, state0, score, refit, err, steps, key, spec.choose_max,
+        record_evals=record_evals,
     )

@@ -70,8 +70,10 @@ def build_parser():
     running.add_argument("--seed", type=int, default=0)
     running.add_argument("--scan", action="store_true", default=False,
                          help="compile the whole sweep into one device "
-                              "program (fast path; per-step eval matrices "
-                              "are not recorded)")
+                              "program (fast path)")
+    running.add_argument("--scan-evals", action="store_true", default=False,
+                         help="with --scan: also record per-step criterion "
+                              "maps in the results (steps*n*m memory)")
     running.add_argument("--shard-candidates", type=int, default=0,
                          metavar="N_DEVICES",
                          help="shard lookahead candidates over an N-device mesh")
@@ -200,16 +202,19 @@ def main(argv=None):
             res, pst_final = scan_loop.run_active_scan(
                 problem, real, crit, n_queries,
                 jax.random.PRNGKey(args.seed), pcfg, lcfg=lcfg,
-                model=args.model,
+                model=args.model, record_evals=args.scan_evals,
             )
             # initial pre-query record, as in the loop path / reference
             recs = [(int(problem.n_rated), float(res.rmse0), None, None)]
+            evs = (np.asarray(res.evals) if res.evals is not None
+                   else [None] * len(np.asarray(res.valid)))
             recs += [
-                (int(nr), float(err), (int(i), int(j)), None)
-                for nr, err, i, j, ok in zip(
+                (int(nr), float(err), (int(i), int(j)),
+                 None if ev is None else np.asarray(ev))
+                for nr, err, i, j, ok, ev in zip(
                     np.asarray(res.n_rated), np.asarray(res.rmse),
                     np.asarray(res.picks_i), np.asarray(res.picks_j),
-                    np.asarray(res.valid),
+                    np.asarray(res.valid), evs,
                 )
                 if ok
             ]

@@ -35,6 +35,9 @@ def main(argv=None):
     parser.add_argument("--shard-candidates", type=int, default=0,
                         metavar="N_DEVICES",
                         help="shard lookahead candidates over an N-device mesh")
+    parser.add_argument("--scan-evals", action="store_true", default=False,
+                        help="with --scan: also record per-step criterion "
+                             "maps in the results (steps*n*m memory)")
     parser.add_argument("--scan", action="store_true", default=False,
                         help="compile the whole sweep into one device "
                              "program (fast path; per-step eval matrices "
@@ -124,14 +127,18 @@ def main(argv=None):
                 num_samps=args.samps, rating_values=vals,
                 lookahead_samps=args.lookahead_samps,
                 lookahead_tile=args.lookahead_tile,
+                record_evals=args.scan_evals,
             )
             recs = [(int(problem.n_rated), float(res.rmse0), None, None)]
+            evs = (np.asarray(res.evals) if res.evals is not None
+                   else [None] * len(np.asarray(res.valid)))
             recs += [
-                (int(nr), float(err), (int(i), int(j)), None)
-                for nr, err, i, j, ok in zip(
+                (int(nr), float(err), (int(i), int(j)),
+                 None if ev is None else np.asarray(ev))
+                for nr, err, i, j, ok, ev in zip(
                     np.asarray(res.n_rated), np.asarray(res.rmse),
                     np.asarray(res.picks_i), np.asarray(res.picks_j),
-                    np.asarray(res.valid),
+                    np.asarray(res.valid), evs,
                 )
                 if ok
             ]

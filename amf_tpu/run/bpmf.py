@@ -34,8 +34,10 @@ def main(argv=None):
                         help="shard lookahead candidates over an N-device mesh")
     parser.add_argument("--scan", action="store_true", default=False,
                         help="compile the whole sweep into one device "
-                             "program (fast path; per-step eval matrices "
-                             "are not recorded; no PMF-MAP chain init)")
+                             "program (fast path; no PMF-MAP chain init)")
+    parser.add_argument("--scan-evals", action="store_true", default=False,
+                        help="with --scan: also record per-step criterion "
+                             "maps in the results (steps*n*m memory)")
     parser.add_argument("--subtract-mean", action="store_true", default=True)
     parser.add_argument(
         "--no-subtract-mean", action="store_false", dest="subtract_mean"
@@ -148,14 +150,18 @@ def main(argv=None):
                 lookahead_warmup=args.lookahead_warmup,
                 lookahead_tile=args.lookahead_tile,
                 binary_acc=binary_acc,
+                record_evals=args.scan_evals,
             )
             recs = [(int(problem.n_rated), float(res.rmse0), None, None)]
+            evs = (np.asarray(res.evals) if res.evals is not None
+                   else [None] * len(np.asarray(res.valid)))
             recs += [
-                (int(nr), float(err), (int(i), int(j)), None)
-                for nr, err, i, j, ok in zip(
+                (int(nr), float(err), (int(i), int(j)),
+                 None if ev is None else np.asarray(ev))
+                for nr, err, i, j, ok, ev in zip(
                     np.asarray(res.n_rated), np.asarray(res.rmse),
                     np.asarray(res.picks_i), np.asarray(res.picks_j),
-                    np.asarray(res.valid),
+                    np.asarray(res.valid), evs,
                 )
                 if ok
             ]

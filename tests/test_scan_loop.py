@@ -109,3 +109,31 @@ def test_stan_scan_sweep(rng, key):
     )
     assert np.isfinite(np.asarray(res.rmse)).all()
     assert np.asarray(res.valid).all()
+
+
+def test_scan_record_evals(rng, key):
+    """record_evals returns the per-step criterion maps (the non-scan loops'
+    evals records, reference plot_results.py:222 input): step-0 map equals a
+    direct recompute, and each step's argmax over the then-queryable pool is
+    the recorded pick."""
+    real, known, vals = make_fake_data(
+        num_users=7, num_items=7, rank=2, data_type=5, mask_type="diag",
+        rng=rng
+    )
+    prob = types.problem_from_dense(real, known, dtype=jnp.float64)
+    pcfg = pmf.PMFConfig(latent_d=2)
+    crit = criteria.KEY_FUNCS["pred-variance"]
+    res, _ = scan_loop.run_active_scan(
+        prob, real, crit, 4, key, pcfg, record_evals=True)
+    assert res.evals.shape == (4, 7, 7)
+    assert np.isfinite(np.asarray(res.evals)).all()
+    q = np.asarray(prob.queryable).copy()
+    for s in range(4):
+        ev = np.asarray(res.evals[s])
+        masked = np.where(q, ev, -np.inf)
+        i, j = np.unravel_index(np.argmax(masked), masked.shape)
+        assert (i, j) == (int(res.picks_i[s]), int(res.picks_j[s]))
+        q[i, j] = False
+    # without the flag the field is None
+    res2, _ = scan_loop.run_active_scan(prob, real, crit, 2, key, pcfg)
+    assert res2.evals is None
