@@ -159,3 +159,31 @@ def test_hmc_lookahead_sharded_matches_unsharded(small_problem, mesh, key):
     q = np.asarray(prob.queryable).ravel()
     np.testing.assert_allclose(sharded[q], plain[q], rtol=1e-3, atol=1e-12)
     assert np.isnan(sharded[~q]).all()
+
+
+def test_rc_entropy_lookahead_sharded_matches_unsharded(small_problem, mesh):
+    """The RC 1-step entropy lookahead (the reference's MATLAB
+    refit-per-candidate loop, select_1step_lowest_entropy.m:25-28) is
+    deterministic, so candidate sharding must be bit-for-layout identical."""
+    from amf_tpu.models import ratingconc as rc
+
+    real, prob, vals = small_problem
+    n, m = prob.shape
+    cfg = rc.RCConfig(
+        rating_values=tuple(float(v) for v in sorted(vals)), max_iters=40)
+    x, data, _ = rc.fit(prob, cfg, dtype=jnp.float64)
+
+    unsharded = rc.entropy_lookahead_scores(
+        x, data, prob, cfg, lookahead_iters=10, dtype=jnp.float64)
+
+    def score_flat(cand, _k):
+        return rc.entropy_lookahead_scores(
+            x, data, prob, cfg, lookahead_iters=10, dtype=jnp.float64,
+            cand=cand)
+
+    sharded = sharded_candidate_scores(score_flat, n * m, mesh)(
+        jax.random.PRNGKey(0))
+    a, b = np.asarray(unsharded), np.asarray(sharded)
+    assert np.isnan(a).sum() == np.isnan(b).sum()
+    mask = ~np.isnan(a)
+    np.testing.assert_allclose(a[mask], b[mask], rtol=1e-8, atol=1e-10)
