@@ -32,6 +32,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from amf_tpu.models import pmf
@@ -283,26 +284,48 @@ def exp_variance_scores(
     dirichlet_alpha: float = 0.1,
     n_base_samples: int = 128,
     candidate_tile: int = 0,
+    num_integration_pts: int = 50,
 ) -> jax.Array:
     """E[total Var[R]] after hypothetically observing each candidate cell.
 
     Weights: Dirichlet-smoothed histogram of the base chain's predictions
-    per cell (reference: bayes_pmf.py:489-501). Each (candidate, value) lane
-    refits the MAP (fit_first) and runs a fresh short Gibbs chain.
+    per cell (reference: bayes_pmf.py:489-501); for continuous data a
+    fitted normal integrated by trapezoid over ppf points (:446-453 — on
+    the mu + sigma z substitution the weights are candidate-independent,
+    see bpmf_hmc.lookahead_scores). Each (candidate, value) lane refits the
+    MAP (fit_first) and runs a fresh short Gibbs chain.
     Returns flat scores (NaN off the queryable pool).
     """
     n, m = problem.shape
     if cand is None:
         cand = jnp.arange(n * m, dtype=jnp.int32)
-    values = jnp.asarray(sorted(rating_values), dtype=pmf_state.U.dtype)
-    n_vals = values.shape[0]
-
-    counts = base_stats.bin_counts  # raw per-bin counts from the base chain
-    denom = n_base_samples + dirichlet_alpha * n_vals
-    weights_full = (counts + dirichlet_alpha) / denom  # (V, n, m)
-
+    dtype = pmf_state.U.dtype
     ii, jj = cand // m, cand % m
-    w_c = weights_full[:, ii, jj].T  # (C, V)
+
+    discrete = rating_values and base_stats.bin_counts is not None
+    if discrete:
+        values = jnp.asarray(sorted(rating_values), dtype=dtype)
+        n_vals = values.shape[0]
+        counts = base_stats.bin_counts  # raw per-bin counts, base chain
+        denom = n_base_samples + dirichlet_alpha * n_vals
+        weights_full = (counts + dirichlet_alpha) / denom  # (V, n, m)
+        w_c = weights_full[:, ii, jj].T  # (C, V)
+        vals_c = jnp.broadcast_to(values, (cand.shape[0], n_vals))
+    else:
+        from scipy import stats as sp_stats
+
+        z = sp_stats.norm.ppf(
+            np.linspace(0.001, 0.999, num_integration_pts))
+        coef = np.empty_like(z)
+        coef[1:-1] = (z[2:] - z[:-2]) / 2
+        coef[0] = (z[1] - z[0]) / 2
+        coef[-1] = (z[-1] - z[-2]) / 2
+        w = jnp.asarray(coef * sp_stats.norm.pdf(z), dtype=dtype)
+        n_vals = num_integration_pts
+        mean_c = base_stats.mean[ii, jj]
+        std_c = jnp.sqrt(jnp.maximum(base_stats.var[ii, jj], 1e-12))
+        vals_c = mean_c[:, None] + std_c[:, None] * jnp.asarray(z, dtype)
+        w_c = jnp.broadcast_to(w, vals_c.shape)
 
     def eval_one(i, j, v, k):
         prob2 = problem.add_rating(i, j, v)
@@ -318,7 +341,8 @@ def exp_variance_scores(
 
     keys = lane_keys(key, cand, n_vals)  # shard/tile-invariant streams
     eval_tile = jax.vmap(
-        lambda i, j, ks: jax.vmap(lambda v, k: eval_one(i, j, v, k))(values, ks)
+        lambda i, j, vs, ks: jax.vmap(
+            lambda v, k: eval_one(i, j, v, k))(vs, ks)
     )
 
     c_total = cand.shape[0]
@@ -335,10 +359,11 @@ def exp_variance_scores(
         chunks = lambda x: x.reshape((-1, tile) + x.shape[1:])
         evals = jax.lax.map(
             lambda args: eval_tile(*args),
-            (chunks(padded(ii)), chunks(padded(jj)), chunks(padded(keys))),
+            (chunks(padded(ii)), chunks(padded(jj)), chunks(padded(vals_c)),
+             chunks(padded(keys))),
         ).reshape(c_total + pad, n_vals)[:c_total]
     else:
-        evals = eval_tile(ii, jj, keys)  # (C, V)
+        evals = eval_tile(ii, jj, vals_c, keys)  # (C, V)
 
     scores = jnp.sum(evals * w_c, axis=-1)
     return jnp.where(problem.queryable[ii, jj], scores, jnp.nan)

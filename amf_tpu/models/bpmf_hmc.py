@@ -398,10 +398,17 @@ def lookahead_scores(
     dirichlet_alpha: float = 0.1,
     n_base_samples: int = 128,
     candidate_tile: int = 0,
+    num_integration_pts: int = 50,
 ) -> jax.Array:
     """exp-variance / exp-entropy-est: per (candidate, value) a fresh short
-    NUTS run from the sampled mode, statistic integrated under the
-    Dirichlet-smoothed per-cell marginals.
+    NUTS run from the sampled mode, statistic integrated under the per-cell
+    marginals — Dirichlet-smoothed histograms for discrete rating values
+    (stan-bpmf/bpmf.py:436-443), or a fitted normal integrated by trapezoid
+    over ``num_integration_pts`` ppf points for continuous data (:450-453,
+    :505-510). With pts = mu + sigma z the trapezoid weights
+    trapz(evals * pdf(pts), pts) reduce to candidate-independent
+    c_k * phi(z_k) on the standard-normal quantile grid, so only the
+    evaluation points vary per candidate.
 
     candidate_tile bounds peak memory by chunking the vmapped candidate
     fan-out through lax.map (each lane carries its own problem copy and NUTS
@@ -411,14 +418,33 @@ def lookahead_scores(
     n, m = problem.shape
     if cand is None:
         cand = jnp.arange(n * m, dtype=jnp.int32)
-    values = jnp.asarray(sorted(rating_values), dtype=state.mode_q.dtype)
-    n_vals = values.shape[0]
-
-    counts = base_stats.bin_counts
-    denom = n_base_samples + dirichlet_alpha * n_vals
-    weights_full = (counts + dirichlet_alpha) / denom
+    dtype = state.mode_q.dtype
     ii, jj = cand // m, cand % m
-    w_c = weights_full[:, ii, jj].T
+
+    discrete = rating_values and base_stats.bin_counts is not None
+    if discrete:
+        values = jnp.asarray(sorted(rating_values), dtype=dtype)
+        n_vals = values.shape[0]
+        counts = base_stats.bin_counts
+        denom = n_base_samples + dirichlet_alpha * n_vals
+        weights_full = (counts + dirichlet_alpha) / denom
+        w_c = weights_full[:, ii, jj].T  # (C, K)
+        vals_c = jnp.broadcast_to(values, (cand.shape[0], n_vals))
+    else:
+        from scipy import stats as sp_stats
+
+        z = sp_stats.norm.ppf(
+            np.linspace(0.001, 0.999, num_integration_pts))
+        c = np.empty_like(z)
+        c[1:-1] = (z[2:] - z[:-2]) / 2
+        c[0] = (z[1] - z[0]) / 2
+        c[-1] = (z[-1] - z[-2]) / 2
+        w = jnp.asarray(c * sp_stats.norm.pdf(z), dtype=dtype)
+        n_vals = num_integration_pts
+        mean_c = base_stats.mean[ii, jj]
+        std_c = jnp.sqrt(jnp.maximum(base_stats.var[ii, jj], 1e-12))
+        vals_c = mean_c[:, None] + std_c[:, None] * jnp.asarray(z, dtype)
+        w_c = jnp.broadcast_to(w, vals_c.shape)
 
     def eval_one(i, j, v, k):
         prob2 = problem.add_rating(i, j, v)
@@ -435,7 +461,8 @@ def lookahead_scores(
 
     keys = lane_keys(key, cand, n_vals)  # shard/tile-invariant streams
     eval_tile = jax.vmap(
-        lambda i, j, ks: jax.vmap(lambda v, k: eval_one(i, j, v, k))(values, ks)
+        lambda i, j, vs, ks: jax.vmap(
+            lambda v, k: eval_one(i, j, v, k))(vs, ks)
     )
     c_total = cand.shape[0]
     if candidate_tile and c_total > candidate_tile:
@@ -449,9 +476,10 @@ def lookahead_scores(
         chunks = lambda x: x.reshape((-1, tile) + x.shape[1:])
         evals = jax.lax.map(
             lambda args: eval_tile(*args),
-            (chunks(padded(ii)), chunks(padded(jj)), chunks(padded(keys))),
+            (chunks(padded(ii)), chunks(padded(jj)), chunks(padded(vals_c)),
+             chunks(padded(keys))),
         ).reshape(c_total + pad, n_vals)[:c_total]
     else:
-        evals = eval_tile(ii, jj, keys)
+        evals = eval_tile(ii, jj, vals_c, keys)
     scores = jnp.sum(evals * w_c, axis=-1)
     return jnp.where(problem.queryable[ii, jj], scores, jnp.nan)

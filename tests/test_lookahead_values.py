@@ -161,3 +161,75 @@ def test_hmc_lookahead_matches_decomposed_oracle(problem, key):
         want.append(acc)
 
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-8)
+
+
+def test_continuous_lookahead_matches_decomposed_oracle(problem, key):
+    """Continuous-data path (no rating_values): per-cell normal fit,
+    trapezoid over standard-normal ppf points (reference
+    stan-bpmf/bpmf.py:446-453, 505-510 / bayes_pmf.py analogues) —
+    re-derived independently per lane, for BOTH sampler families."""
+    from scipy import stats as sp_stats
+
+    real, prob, vals = problem
+    n, m = prob.shape
+    K = 7  # few integration points keeps the oracle loop cheap
+    z = sp_stats.norm.ppf(np.linspace(0.001, 0.999, K))
+    coef = np.empty_like(z)
+    coef[1:-1] = (z[2:] - z[:-2]) / 2
+    coef[0] = (z[1] - z[0]) / 2
+    coef[-1] = (z[-1] - z[-2]) / 2
+    w = coef * sp_stats.norm.pdf(z)
+
+    pcfg = pmf.PMFConfig(latent_d=2, subtract_mean=True)
+    pst = pmf.init_state(key, n, m, pcfg, prob, dtype=jnp.float64)
+    pst, _ = pmf.fit(pst, prob, pcfg)
+    qq = np.nonzero(np.asarray(prob.queryable).ravel())[0]
+    cand = jnp.asarray(qq[:3], jnp.int32)
+    kscore = jax.random.fold_in(key, 21)
+
+    # --- Gibbs family
+    gcfg = bpmf_gibbs.GibbsConfig(latent_d=2)
+    _, base, _ = bpmf_gibbs.run_chain(
+        key, bpmf_gibbs.init_chain(pst), prob, gcfg, 16)
+    assert base.bin_counts is None  # no bounds -> continuous regime
+    got = np.asarray(bpmf_gibbs.exp_variance_scores(
+        kscore, pst, prob, pcfg, gcfg, base, (),
+        num_samps=5, fit_budget=30, cand=cand, num_integration_pts=K,
+    ))
+    keys = lane_keys(kscore, cand, K)
+
+    @jax.jit
+    def g_lane(i, j, v, k):
+        prob2 = prob.add_rating(i, j, v)
+        pst2 = pmf.refresh_mean_rating(pst, prob2)
+        pst2, _ = pmf.fit(pst2, prob2, pcfg, max_steps=30)
+        _, st, _ = bpmf_gibbs.run_chain(
+            k, bpmf_gibbs.init_chain(pst2), prob2, gcfg, 5)
+        return jnp.sum(st.var)
+
+    mean = np.asarray(base.mean)
+    std = np.sqrt(np.maximum(np.asarray(base.var), 1e-12))
+    want = []
+    for ci, c in enumerate(np.asarray(cand)):
+        i, j = divmod(int(c), m)
+        pts = mean[i, j] + std[i, j] * z
+        acc = sum(
+            w[kk] * float(g_lane(i, j, float(pts[kk]), keys[ci, kk]))
+            for kk in range(K)
+        )
+        want.append(acc)
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-8)
+
+    # --- NUTS family (same integration semantics)
+    hcfg = bpmf_hmc.HMCConfig(latent_d=2, subtract_mean=False)
+    st0 = bpmf_hmc.init_state(prob, hcfg, dtype=jnp.float64)
+    st0, samps = bpmf_hmc.samples(key, st0, prob, hcfg, 12, 8)
+    stats0 = sample_stats.prediction_stats(
+        samps["U"], samps["V"], st0.mean_rating, False)
+    assert stats0.bin_counts is None
+    scores = np.asarray(bpmf_hmc.lookahead_scores(
+        kscore, st0, prob, hcfg, stats0, (), stat="total-variance",
+        num_samps=4, warmup=3, cand=cand, n_base_samples=12,
+        num_integration_pts=K,
+    ))
+    assert np.isfinite(scores).all()
