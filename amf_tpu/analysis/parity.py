@@ -192,7 +192,11 @@ def check_experiment_dir(outdir: str) -> Tuple[List[Dict], bool]:
         by_kind[kind] = res
         rows.extend(check_results(res, kind))
         dg = digest(res, kind)
-        dpath = os.path.join(outdir, f"digest_{kind}.json.gz")
+        # digest named after the results file (not the kind): one dir can
+        # hold several runs of the same kind (e.g. results_bayes +
+        # results_bayes_la for the 70x306 lookahead demonstration)
+        stem = os.path.basename(path)[len("results_"):-len(".pkl")]
+        dpath = os.path.join(outdir, f"digest_{stem}.json.gz")
         with gzip.open(dpath, "wt") as f:
             json.dump(dg, f)
     if len(by_kind) > 1:

@@ -39,6 +39,7 @@ def _dataset(name: str) -> str:
         "movielens-75k": "movielens-100k/half_ratings.npy.gz",
         "movielens-58k": "movielens-100k/half_ratings_70.npy.gz",
         "drugbank-94x425": "drugbank/subset_94x425.npy",
+        "drugbank-70x306": "drugbank/subset_70x306.npy",
         "criteria-10x10-data": "results/criteria/10x10_r1_u10_v10_1/data.pkl",
     }
     path = os.path.join(root, paths[name])
@@ -272,6 +273,42 @@ def catalog() -> Dict[str, Experiment]:
                 "--checkpoint", "{out}/ckpt_stan.pkl",
                 "--save-results", "{out}/results_stan.pkl", "--no-verbose",
                 "random", "pred-variance", "pred", "prob-ge-0",
+            ],
+        },
+    )
+
+    # ---- DrugBank 70x306 Gibbs (no reference Makefile: this is the
+    # driver-set north-star config "DrugBank 70x306 interaction subset,
+    # Bayesian PMF Gibbs + active entry selection", BASELINE.json configs[1];
+    # parameters scaled from the 94x425 recipe: 710 positives -> 250 seed
+    # picks, 1000 equal-class test cells). gibbs_lookahead runs the
+    # exp-variance MCMC-per-candidate lookahead for a budgeted step count.
+    exps["drugbank-70x306-gibbs"] = Experiment(
+        name="drugbank-70x306-gibbs",
+        source="BASELINE.json configs[1] (no reference Makefile)",
+        data_cmd=[
+            "amf_tpu.run.choose_training", ("dataset", "drugbank-70x306"),
+            "{data}",
+            "--drugbank", "--n-pick", "250",
+            "--test-equal-classes", "--n-test", "1000",
+        ],
+        runs={
+            "bayes": [
+                "amf_tpu.run.bayes_pmf", "--load-data", "{data}",
+                "--latent-d", "20", "--subtract-mean",
+                "--samps", "128", "--steps", "150", "--float32",
+                "--checkpoint", "{out}/ckpt_bayes.pkl",
+                "--save-results", "{out}/results_bayes.pkl", "--no-verbose",
+                "random", "pred-variance", "prob-ge-0",
+            ],
+            "bayes_lookahead": [
+                "amf_tpu.run.bayes_pmf", "--load-data", "{data}",
+                "--latent-d", "20", "--subtract-mean",
+                "--samps", "128", "--steps", "15", "--float32",
+                "--lookahead-samps", "30",
+                "--checkpoint", "{out}/ckpt_bayes_la.pkl",
+                "--save-results", "{out}/results_bayes_la.pkl",
+                "--no-verbose", "exp-variance",
             ],
         },
     )
