@@ -139,9 +139,9 @@ def run_active_gibbs(
         )
         return pst, stats
 
-    if not vals:
-        lookahead_fn = None
-    elif mesh is not None:
+    # vals = () makes exp_variance_scores take the continuous path (normal
+    # fit + trapezoid over ppf points, bayes_pmf.py:446-453 semantics)
+    if mesh is not None:
         # candidates sharded over the mesh (the reference's pool.map hot
         # loop, bayes_pmf.py:514-519); per-lane PRNG streams are global-index
         # derived so this matches the unsharded path to tolerance
@@ -186,8 +186,6 @@ def run_active_gibbs(
         elif spec.kind == "prob-ge":
             ev = stats.prob_ge[_CUTOFFS.index(spec.cutoff)]
         elif spec.kind == "exp-variance":
-            if lookahead_fn is None:
-                raise ValueError("exp-variance needs rating_values")
             ev = lookahead_fn(k, pst, prob, stats)
         else:
             raise ValueError(spec.kind)
