@@ -191,7 +191,7 @@ def run_gibbs_scan(
             return stats.mean
         if spec.kind == "prob-ge":
             return stats.prob_ge[_CUTOFFS.index(spec.cutoff)]
-        assert vals, "exp-variance needs rating_values"
+        # vals = () -> continuous normal-fit integration path
         return bpmf_gibbs.exp_variance_scores(
             k, pst, prob, pcfg, gcfg, stats, vals,
             num_samps=lookahead_samps, n_base_samples=num_samps,
@@ -263,7 +263,7 @@ def run_stan_scan(
             return stats.mean
         if spec.kind == "prob-ge":
             return stats.prob_ge[_CUTOFFS.index(spec.cutoff)]
-        assert vals, "lookahead keys need rating_values"
+        # vals = () -> continuous normal-fit integration path
         stat = ("total-variance" if spec.kind == "exp-variance"
                 else "entropy-est")
         return bpmf_hmc.lookahead_scores(
