@@ -99,7 +99,11 @@ def run_active_stan(
 
     sample_fn = jax.jit(
         lambda k, st, prob: bpmf_hmc.samples(
-            k, st, prob, cfg, num_samps, warmup, chains=chains
+            k, st, prob, cfg, num_samps, warmup, chains=chains,
+            # the candidate mesh doubles as the chain mesh when chains
+            # divide over it (the reference's process-parallel Stan chains)
+            chain_mesh=(mesh if chains > 1 and mesh is not None
+                        and chains % mesh.devices.size == 0 else None),
         )
     )
     stats_fn = jax.jit(

@@ -334,6 +334,7 @@ def samples(
     num_samps: int,
     warmup: Optional[int] = None,
     chains: int = 1,
+    chain_mesh=None,  # jax.sharding.Mesh: shard the chain axis over devices
 ) -> Tuple[BPMFState, Dict[str, jax.Array]]:
     """Run NUTS for num_samps draws after warmup (default num_samps // 2,
     stan-bpmf/bpmf.py:310-311), starting at the sampled mode; update the mode
@@ -341,7 +342,10 @@ def samples(
 
     chains > 1 vmaps independent chains (num_samps draws each, pooled) — the
     TPU replacement for the reference's process-parallel Stan chains
-    (stan-bpmf/bpmf.py:314); warmup runs per chain.
+    (stan-bpmf/bpmf.py:314); warmup runs per chain. chain_mesh additionally
+    shards the chain axis over a device mesh (parallel.sharding
+    .sharded_chain_map) — identical draws to the vmapped path, since
+    per-chain streams come from the explicit keys.
     """
     if warmup is None:
         warmup = num_samps // 2
@@ -353,12 +357,16 @@ def samples(
 
     if chains > 1:
         keys = jax.random.split(key, chains)
-        qs, info = jax.vmap(
-            lambda k: nuts.run_nuts(
-                k, state.mode_q, logp, num_samps, warmup,
-                cfg=nuts.NUTSConfig(max_depth=cfg.max_depth),
-            )
-        )(keys)
+        run_one = lambda k: nuts.run_nuts(
+            k, state.mode_q, logp, num_samps, warmup,
+            cfg=nuts.NUTSConfig(max_depth=cfg.max_depth),
+        )
+        if chain_mesh is not None:
+            from amf_tpu.parallel.sharding import sharded_chain_map
+
+            qs, info = sharded_chain_map(run_one, chain_mesh)(keys)
+        else:
+            qs, info = jax.vmap(run_one)(keys)
         qs = qs.reshape(chains * num_samps, -1)
         info = jax.tree.map(lambda x: x.reshape(chains * num_samps), info)
         num_samps = chains * num_samps

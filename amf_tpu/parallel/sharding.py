@@ -72,3 +72,36 @@ def best_candidate(scores: jax.Array, queryable_flat: jax.Array, maximize: bool)
         return jnp.argmax(masked)
     masked = jnp.where(queryable_flat, scores, jnp.inf)
     return jnp.argmin(masked)
+
+
+def sharded_chain_map(run_one, mesh: Mesh, axis_name: str = CANDIDATE_AXIS):
+    """vmap a per-chain function with the chain axis sharded over the mesh —
+    the TPU-native replacement for the reference's process-parallel Stan
+    chains (stan-bpmf/bpmf.py:314 ``chains`` fan-out over R processes).
+
+    run_one(key) -> pytree of per-chain outputs. Returns fn(keys (C, 2)) ->
+    stacked outputs with the leading chain axis sharded; C must be a multiple
+    of the mesh size. Chains are independent (no collectives), so sharded ==
+    vmapped exactly: per-chain streams come from the explicit keys.
+    """
+    n_dev = mesh.devices.size
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P(axis_name),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )
+    def run_shard(keys):
+        return jax.vmap(run_one)(keys)
+
+    def run(keys):
+        if keys.shape[0] % n_dev:
+            raise ValueError(
+                f"chains ({keys.shape[0]}) must be a multiple of the mesh "
+                f"size ({n_dev})"
+            )
+        return run_shard(keys)
+
+    return run

@@ -187,3 +187,19 @@ def test_rc_entropy_lookahead_sharded_matches_unsharded(small_problem, mesh):
     assert np.isnan(a).sum() == np.isnan(b).sum()
     mask = ~np.isnan(a)
     np.testing.assert_allclose(a[mask], b[mask], rtol=1e-8, atol=1e-10)
+
+
+def test_nuts_chains_sharded_match_vmapped(small_problem, mesh, key):
+    """Chain-parallel NUTS over the mesh (the reference's process-parallel
+    Stan chains, stan-bpmf/bpmf.py:314) draws identically to the vmapped
+    chain fan-out: streams come from explicit per-chain keys."""
+    real, prob, vals = small_problem
+    cfg = bpmf_hmc.HMCConfig(latent_d=2, subtract_mean=False)
+    st = bpmf_hmc.init_state(prob, cfg, dtype=jnp.float64)
+    _, vmapped = bpmf_hmc.samples(key, st, prob, cfg, 6, 4, chains=8)
+    _, sharded = bpmf_hmc.samples(
+        key, st, prob, cfg, 6, 4, chains=8, chain_mesh=mesh)
+    for name in ("U", "V", "lp__"):
+        np.testing.assert_allclose(
+            np.asarray(vmapped[name]), np.asarray(sharded[name]),
+            rtol=1e-10, atol=1e-12)
