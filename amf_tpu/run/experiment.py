@@ -415,7 +415,9 @@ def _fill(tokens, data: str, out: str) -> List[str]:
         if isinstance(t, tuple) and t[0] == "dataset":
             filled.append(_dataset(t[1]))
         else:
-            filled.append(t.format(data=data, out=out))
+            # literal replacement, NOT str.format: argv tokens may contain
+            # braces of their own (e.g. the --test-class-ratios dict)
+            filled.append(t.replace("{data}", data).replace("{out}", out))
     return filled
 
 
