@@ -60,6 +60,10 @@ def run_scan(
         prob, state = carry
         k_score, k_refit = jax.random.split(k)
         ev = score(state, prob, k_score)
+        if record_evals:
+            # NaN off the then-queryable pool, matching the non-scan loops'
+            # records (gibbs_loop/stan_loop/loop evals_for masking)
+            ev_rec = jnp.where(prob.queryable, ev, jnp.nan)
         any_left = jnp.any(prob.queryable)
         if maximize:
             flat = jnp.argmax(jnp.where(prob.queryable, ev, -jnp.inf))
@@ -74,7 +78,7 @@ def run_scan(
         state = refit(state, prob, k_refit)
         out = (prob.n_rated, err(state, prob), i, j, any_left)
         if record_evals:
-            out += (ev,)  # raw criterion map (lookahead scorers NaN off-pool)
+            out += (ev_rec,)
         return (prob, state), out
 
     err0 = err(state0, problem)
@@ -291,3 +295,27 @@ def run_stan_scan(
         problem, real, state0, score, refit, err, steps, key, spec.choose_max,
         record_evals=record_evals,
     )
+
+
+def result_to_records(problem: Problem, res: SweepResult):
+    """Convert a SweepResult into the reference-schema record list used by
+    every results pickle: an initial pre-query record then one
+    (num_rated, err, (i, j), evals) tuple per valid step
+    (plot_results.py:160-166 consumer shape). Shared by the CLIs' --scan
+    paths so the tuple shape changes in exactly one place."""
+    import numpy as np
+
+    recs = [(int(problem.n_rated), float(res.rmse0), None, None)]
+    evs = (np.asarray(res.evals) if res.evals is not None
+           else [None] * len(np.asarray(res.valid)))
+    recs += [
+        (int(nr), float(err), (int(i), int(j)),
+         None if ev is None else np.asarray(ev))
+        for nr, err, i, j, ok, ev in zip(
+            np.asarray(res.n_rated), np.asarray(res.rmse),
+            np.asarray(res.picks_i), np.asarray(res.picks_j),
+            np.asarray(res.valid), evs,
+        )
+        if ok
+    ]
+    return recs

@@ -189,13 +189,18 @@ def check_experiment_dir(outdir: str) -> Tuple[List[Dict], bool]:
     for path in sorted(glob.glob(os.path.join(outdir, "results_*.pkl"))):
         res = load_results(path)
         kind = guess_kind(res)
-        by_kind[kind] = res
-        rows.extend(check_results(res, kind))
+        # first file of a kind wins for cross-engine comparison (sorted
+        # order puts results_bayes.pkl before results_bayes_la.pkl — the
+        # main run, not an auxiliary one)
+        by_kind.setdefault(kind, res)
+        stem = os.path.basename(path)[len("results_"):-len(".pkl")]
+        for row in check_results(res, kind):
+            row["run"] = stem
+            rows.append(row)
         dg = digest(res, kind)
         # digest named after the results file (not the kind): one dir can
         # hold several runs of the same kind (e.g. results_bayes +
         # results_bayes_la for the 70x306 lookahead demonstration)
-        stem = os.path.basename(path)[len("results_"):-len(".pkl")]
         dpath = os.path.join(outdir, f"digest_{stem}.json.gz")
         with gzip.open(dpath, "wt") as f:
             json.dump(dg, f)

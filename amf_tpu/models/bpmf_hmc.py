@@ -429,8 +429,12 @@ def lookahead_scores(
     dtype = state.mode_q.dtype
     ii, jj = cand // m, cand % m
 
-    discrete = rating_values and base_stats.bin_counts is not None
-    if discrete:
+    if rating_values and base_stats.bin_counts is None:
+        raise ValueError(
+            "rating_values given but base_stats has no bin_counts — compute "
+            "the base stats with value_bounds for the discrete lookahead"
+        )
+    if rating_values:
         values = jnp.asarray(sorted(rating_values), dtype=dtype)
         n_vals = values.shape[0]
         counts = base_stats.bin_counts
@@ -439,20 +443,14 @@ def lookahead_scores(
         w_c = weights_full[:, ii, jj].T  # (C, K)
         vals_c = jnp.broadcast_to(values, (cand.shape[0], n_vals))
     else:
-        from scipy import stats as sp_stats
+        from amf_tpu.ops.quadrature import normal_trapezoid_grid
 
-        z = sp_stats.norm.ppf(
-            np.linspace(0.001, 0.999, num_integration_pts))
-        c = np.empty_like(z)
-        c[1:-1] = (z[2:] - z[:-2]) / 2
-        c[0] = (z[1] - z[0]) / 2
-        c[-1] = (z[-1] - z[-2]) / 2
-        w = jnp.asarray(c * sp_stats.norm.pdf(z), dtype=dtype)
+        z, w = normal_trapezoid_grid(num_integration_pts)
         n_vals = num_integration_pts
         mean_c = base_stats.mean[ii, jj]
         std_c = jnp.sqrt(jnp.maximum(base_stats.var[ii, jj], 1e-12))
         vals_c = mean_c[:, None] + std_c[:, None] * jnp.asarray(z, dtype)
-        w_c = jnp.broadcast_to(w, vals_c.shape)
+        w_c = jnp.broadcast_to(jnp.asarray(w, dtype), vals_c.shape)
 
     def eval_one(i, j, v, k):
         prob2 = problem.add_rating(i, j, v)

@@ -73,6 +73,11 @@ def log_posterior(
     item hyperprior; likelihood over observed new-item cells only.
     cfg.model == 'bpmf' uses the general bpmf_newitems.stan construction
     (w_0 = I data — the only w_0 the reference passes)."""
+    if cfg.model == "straightforward":
+        raise ValueError(
+            "the newitems model has no straightforward-parameterization "
+            "variant (reference ships only bpmf_newitems[_w0identity].stan)"
+        )
     p = unpack(q, s)
     feats = jnp.concatenate([V_fixed.astype(q.dtype), p["V_new"]], axis=0)
     w0_chol = jnp.eye(s.d, dtype=q.dtype) if cfg.model == "bpmf" else None

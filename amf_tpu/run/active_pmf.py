@@ -205,19 +205,7 @@ def main(argv=None):
                 model=args.model, record_evals=args.scan_evals,
             )
             # initial pre-query record, as in the loop path / reference
-            recs = [(int(problem.n_rated), float(res.rmse0), None, None)]
-            evs = (np.asarray(res.evals) if res.evals is not None
-                   else [None] * len(np.asarray(res.valid)))
-            recs += [
-                (int(nr), float(err), (int(i), int(j)),
-                 None if ev is None else np.asarray(ev))
-                for nr, err, i, j, ok, ev in zip(
-                    np.asarray(res.n_rated), np.asarray(res.rmse),
-                    np.asarray(res.picks_i), np.asarray(res.picks_j),
-                    np.asarray(res.valid), evs,
-                )
-                if ok
-            ]
+            recs = scan_loop.result_to_records(problem, res)
             results[key_name] = recs
             if args.verbose:
                 errs = [r[1] for r in recs]

@@ -40,7 +40,7 @@ def main(argv=None):
                              "maps in the results (steps*n*m memory)")
     parser.add_argument("--scan", action="store_true", default=False,
                         help="compile the whole sweep into one device "
-                             "program (fast path; per-step eval matrices "
+                             "program (fast path"
                              "are not recorded)")
     parser.add_argument("--test-set", default="all")
     parser.add_argument("--seed", type=int, default=0)
@@ -129,19 +129,7 @@ def main(argv=None):
                 lookahead_tile=args.lookahead_tile,
                 record_evals=args.scan_evals,
             )
-            recs = [(int(problem.n_rated), float(res.rmse0), None, None)]
-            evs = (np.asarray(res.evals) if res.evals is not None
-                   else [None] * len(np.asarray(res.valid)))
-            recs += [
-                (int(nr), float(err), (int(i), int(j)),
-                 None if ev is None else np.asarray(ev))
-                for nr, err, i, j, ok, ev in zip(
-                    np.asarray(res.n_rated), np.asarray(res.rmse),
-                    np.asarray(res.picks_i), np.asarray(res.picks_j),
-                    np.asarray(res.valid), evs,
-                )
-                if ok
-            ]
+            recs = scan_loop.result_to_records(problem, res)
             results[kname] = recs
             if args.verbose:
                 print(f"{kname}: {len(recs)} records, rmse "

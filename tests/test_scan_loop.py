@@ -126,11 +126,13 @@ def test_scan_record_evals(rng, key):
     res, _ = scan_loop.run_active_scan(
         prob, real, crit, 4, key, pcfg, record_evals=True)
     assert res.evals.shape == (4, 7, 7)
-    assert np.isfinite(np.asarray(res.evals)).all()
     q = np.asarray(prob.queryable).copy()
     for s in range(4):
         ev = np.asarray(res.evals[s])
-        masked = np.where(q, ev, -np.inf)
+        # NaN exactly off the then-queryable pool (loop-record parity)
+        assert np.isfinite(ev[q]).all()
+        assert np.isnan(ev[~q]).all()
+        masked = np.where(q & np.isfinite(ev), ev, -np.inf)
         i, j = np.unravel_index(np.argmax(masked), masked.shape)
         assert (i, j) == (int(res.picks_i[s]), int(res.picks_j[s]))
         q[i, j] = False
