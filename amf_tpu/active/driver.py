@@ -112,6 +112,13 @@ def drive_active(
                 )
                 flat = int(jnp.argmax(masked) if choose_max
                            else jnp.argmin(masked))
+                if not bool(jnp.isfinite(masked.ravel()[flat])):
+                    # no queryable cell has a finite score (e.g. the *-pos
+                    # margin selectors when every margin is non-positive):
+                    # the reference still picks a QUERYABLE cell — its
+                    # selector vector only ever contains queryable cells
+                    # (select_min_margin_pos.m:5-13 argmin over x(can_query))
+                    flat = int(jnp.argmax(prob_k.queryable.ravel()))
                 i, j = flat // m, flat % m
                 evals = np.asarray(ev)
 

@@ -69,6 +69,13 @@ def run_scan(
             flat = jnp.argmax(jnp.where(prob.queryable, ev, -jnp.inf))
         else:
             flat = jnp.argmin(jnp.where(prob.queryable, ev, jnp.inf))
+        # no finite score on the pool (e.g. all-masked *-pos margins):
+        # still pick a queryable cell, as the reference's selectors do
+        # (their candidate vector only contains queryable cells)
+        flat = jnp.where(
+            jnp.isfinite(ev.ravel()[flat]) & prob.queryable.ravel()[flat],
+            flat, jnp.argmax(prob.queryable.ravel()),
+        )
         i, j = flat // m, flat % m
 
         new_prob = prob.add_rating(i, j, real[i, j])

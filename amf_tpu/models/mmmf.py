@@ -369,8 +369,10 @@ def selector_evals(name: str, X: jax.Array, can_query: jax.Array, key=None):
     """Margin maps for the selector registry (NaN off the pool).
 
     min-margin / max-margin use |x| (select_min_margin.m:1-12);
-    *-pos variants use the signed margin with non-positives masked to +inf
-    (select_min_margin_pos.m) or -inf for the max variant.
+    min-margin-pos uses the signed margin with non-positives masked to +inf
+    (select_min_margin_pos.m:7); max-margin-pos is the UNMASKED signed max —
+    the reference's mask line is commented out (select_max_margin_pos.m:7),
+    so it just takes the largest margin.
     """
     if name == "random":
         ev = jax.random.uniform(key, X.shape, dtype=X.dtype)
@@ -383,8 +385,7 @@ def selector_evals(name: str, X: jax.Array, can_query: jax.Array, key=None):
         ev = jnp.where(X > 0, X, jnp.inf)
         return jnp.where(can_query, ev, jnp.nan), False
     if name == "max-margin-pos":
-        ev = jnp.where(X > 0, X, -jnp.inf)
-        return jnp.where(can_query, ev, jnp.nan), True
+        return jnp.where(can_query, X, jnp.nan), True
     raise ValueError(f"unknown MMMF selector {name!r}")
 
 

@@ -66,12 +66,18 @@ def sharded_candidate_scores(
 def best_candidate(scores: jax.Array, queryable_flat: jax.Array, maximize: bool):
     """Final argmax/argmin reduction (the only cross-candidate communication;
     reference analogue: the chooser over pool.map results,
-    active_pmf.py:729-737)."""
+    active_pmf.py:729-737). Falls back to the first queryable cell when no
+    queryable score is finite (the reference selectors' candidate vectors
+    only contain queryable cells, so they cannot pick off-pool)."""
     if maximize:
         masked = jnp.where(queryable_flat, scores, -jnp.inf)
-        return jnp.argmax(masked)
-    masked = jnp.where(queryable_flat, scores, jnp.inf)
-    return jnp.argmin(masked)
+        best = jnp.argmax(masked)
+    else:
+        masked = jnp.where(queryable_flat, scores, jnp.inf)
+        best = jnp.argmin(masked)
+    return jnp.where(
+        jnp.isfinite(masked[best]), best, jnp.argmax(queryable_flat)
+    )
 
 
 def sharded_chain_map(run_one, mesh: Mesh, axis_name: str = CANDIDATE_AXIS):

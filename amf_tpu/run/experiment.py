@@ -501,6 +501,13 @@ def main(argv=None):
         if result_path and os.path.exists(result_path) and not args.force:
             print(f"[{kind}] exists: {result_path} (skipping; --force to rerun)")
             continue
+        if args.force:
+            # a stale checkpoint would silently resume the OLD run and
+            # immediately re-save it; --force means start fresh
+            for tok in cmd:
+                if isinstance(tok, str) and "/ckpt_" in tok and os.path.exists(tok):
+                    os.remove(tok)
+                    print(f"[{kind}] removed stale checkpoint {tok}")
         if args.steps is not None:
             if "--steps" in cmd:
                 cmd[cmd.index("--steps") + 1] = str(args.steps)
