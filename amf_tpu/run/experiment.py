@@ -280,16 +280,18 @@ def catalog() -> Dict[str, Experiment]:
     # ---- DrugBank 70x306 Gibbs (no reference Makefile: this is the
     # driver-set north-star config "DrugBank 70x306 interaction subset,
     # Bayesian PMF Gibbs + active entry selection", BASELINE.json configs[1];
-    # parameters scaled from the 94x425 recipe: 710 positives -> 250 seed
-    # picks, 1000 equal-class test cells). gibbs_lookahead runs the
-    # exp-variance MCMC-per-candidate lookahead for a budgeted step count.
+    # parameters scaled from the 94x425 recipe: the drugbank picker's
+    # forced cover is ~one positive per drug + one negative per empty
+    # target (~310 cells here), so 400 seed picks; 1000 equal-class test
+    # cells). bayes_lookahead runs the exp-variance MCMC-per-candidate
+    # lookahead for a budgeted step count.
     exps["drugbank-70x306-gibbs"] = Experiment(
         name="drugbank-70x306-gibbs",
         source="BASELINE.json configs[1] (no reference Makefile)",
         data_cmd=[
             "amf_tpu.run.choose_training", ("dataset", "drugbank-70x306"),
             "{data}",
-            "--drugbank", "--n-pick", "250",
+            "--drugbank", "--n-pick", "400",
             "--test-equal-classes", "--n-test", "1000",
         ],
         runs={
