@@ -125,13 +125,29 @@ def check_results(results: Dict, kind: Optional[str] = None,
                       f"err[-1]={errs[-1]:.4f}",
         })
 
-        if short not in _RMSE_UNINFORMATIVE and len(errs) > 2:
-            improved = errs[-1] <= errs[0] * (1 + improve_slack)
-            rows.append({
-                "check": "learning", "key": short,
-                "status": "pass" if improved else "fail",
-                "detail": f"err {errs[0]:.4f} -> {errs[-1]:.4f}",
-            })
+    for short, (ns, errs) in curves.items():
+        if short in _RMSE_UNINFORMATIVE or len(errs) <= 2:
+            continue
+        improved = errs[-1] <= errs[0] * (1 + improve_slack)
+        if improved:
+            status = "pass"
+        elif short == "random":
+            # random not improving characterizes the workload, not the code
+            status = "warn"
+        elif "random" in curves and (
+            errs[-1] <= curves["random"][1][-1] * (1 + improve_slack)
+        ):
+            # workloads where even random querying worsens the metric
+            # (e.g. Gibbs RMSE on ±1 DrugBank data): active selection is
+            # acceptable as long as it tracks the random curve
+            status = "warn"
+        else:
+            status = "fail"
+        rows.append({
+            "check": "learning", "key": short,
+            "status": status,
+            "detail": f"err {errs[0]:.4f} -> {errs[-1]:.4f}",
+        })
 
     if "random" in curves:
         ns_r, err_r = curves["random"]
