@@ -307,7 +307,7 @@ def catalog() -> Dict[str, Experiment]:
                 "amf_tpu.run.bayes_pmf", "--load-data", "{data}",
                 "--latent-d", "20", "--subtract-mean",
                 "--samps", "128", "--steps", "15", "--float32",
-                "--lookahead-samps", "30",
+                "--lookahead-samps", "30", "--lookahead-tile", "64",
                 "--checkpoint", "{out}/ckpt_bayes_la.pkl",
                 "--save-results", "{out}/results_bayes_la.pkl",
                 "--no-verbose", "exp-variance",
