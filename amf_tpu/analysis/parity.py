@@ -135,11 +135,12 @@ def check_results(results: Dict, kind: Optional[str] = None,
             # random not improving characterizes the workload, not the code
             status = "warn"
         elif "random" in curves and (
-            errs[-1] <= curves["random"][1][-1] * (1 + improve_slack)
+            errs[-1] <= curves["random"][1][-1] * (1 + random_slack)
         ):
-            # workloads where even random querying worsens the metric
-            # (e.g. Gibbs RMSE on ±1 DrugBank data): active selection is
-            # acceptable as long as it tracks the random curve
+            # metric-flat or criterion-underperforms regimes the reference
+            # itself documents (its ML curves show pred-variance losing to
+            # random at 200/58k ratings): acceptable within the same slack
+            # used for the AUC-vs-random band
             status = "warn"
         else:
             status = "fail"
