@@ -8,6 +8,7 @@ present. See kernels.cc for what each kernel replaces in the reference.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -17,7 +18,18 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "kernels.cc")
-_LIB = os.path.join(_DIR, "libamfnative.so")
+
+
+def _src_hash() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()[:16]
+
+
+# The library name embeds a source hash: checkout mtimes are arbitrary, so an
+# mtime staleness check can load a stale (or foreign-host, -march=native)
+# binary; a hash-named artifact is only ever loaded if built from this exact
+# source on this machine (the .so is gitignored, built on first use).
+_LIB = os.path.join(_DIR, f"libamfnative-{_src_hash()}.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
@@ -45,9 +57,7 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not os.path.exists(_LIB) or (
-            os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
-        ):
+        if not os.path.exists(_LIB):
             if not _build():
                 _build_failed = True
                 return None

@@ -11,8 +11,10 @@ methodology (cross-implementation agreement, compare_firsts.py:133-151):
   2. learning    — the error at the end of the sweep improved on the initial
      fit for informative criteria (HARD, with slack: noisy small problems);
   3. active>=random — informative criteria have learning-curve AUC no worse
-     than random's × (1 + slack) on the same data (SOFT: seeds exist where
-     random wins early; reported, failure is a warning);
+     than random's × (1 + slack) on the same data (HARD on the 10x10 and
+     DrugBank workloads where the reference documents active winning —
+     strict_active; SOFT elsewhere: the reference's own MovieLens curves
+     show pred-variance tracking/losing to random at the 200-step horizon);
   4. cross-engine agreement — where two independent engines (Gibbs vs NUTS
      vs variational) scored the same first step on the same data, Kendall τ
      of their eval maps ≥ a floor (SOFT; reference evidence level is τ>0.4
@@ -49,11 +51,26 @@ from amf_tpu.analysis.results import (
 _RMSE_UNINFORMATIVE = ("random", "pred")
 
 
-def _strip_prefix(key: str, kind: str) -> str:
+def _strip_prefix(key: str) -> str:
     for pre in ("mnpmf_", "mmmf_", "bayes_", "stan_", "rc_", "apmf_"):
         if key.startswith(pre):
             return key[len(pre):]
     return key
+
+
+# Workload dirs where the reference's papers document active selection
+# beating random (10x10 synthetic lookahead configs; DrugBank discovery):
+# there the active>=random band is allowed to HARD-FAIL instead of warn.
+# On the MovieLens from-5% workloads the reference's own curves show
+# pred-variance tracking or losing to random at the 200-step horizon, so
+# underperformance there characterizes the workload, not the code.
+_STRICT_ACTIVE_PREFIXES = ("10x10", "drugbank", "criteria")
+
+
+def strict_active_for(outdir: str) -> bool:
+    return os.path.basename(os.path.normpath(outdir)).startswith(
+        _STRICT_ACTIVE_PREFIXES
+    )
 
 
 def digest(results: Dict, kind: Optional[str] = None) -> Dict:
@@ -80,7 +97,7 @@ def digest(results: Dict, kind: Optional[str] = None) -> Dict:
             for r in recs
         ]
         fse = first_step_evals(recs)
-        out["criteria"][_strip_prefix(key, kind)] = {
+        out["criteria"][_strip_prefix(key)] = {
             "n_rated": [int(x) for x in ns],
             "err": [float(x) for x in errs],
             "picks": picks,
@@ -95,16 +112,23 @@ def digest(results: Dict, kind: Optional[str] = None) -> Dict:
 
 def check_results(results: Dict, kind: Optional[str] = None,
                   improve_slack: float = 0.02,
-                  random_slack: float = 0.10) -> List[Dict]:
+                  random_slack: float = 0.10,
+                  strict_active: bool = False) -> List[Dict]:
     """Run bands 1-3 on one results dict; returns a list of check rows
-    {check, key, status ('pass'|'warn'|'fail'), detail}."""
+    {check, key, status ('pass'|'warn'|'fail'), detail}.
+
+    With ``strict_active`` (workloads where the reference documents active
+    beating random, see _STRICT_ACTIVE_PREFIXES), a criterion whose error
+    WORSENS over the sweep or whose AUC is worse than random beyond slack
+    hard-fails instead of warning — "ran and didn't diverge" is not
+    acceptance evidence on those workloads."""
     kind = kind or guess_kind(results)
     rows: List[Dict] = []
     curves: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
     for key, recs in results.items():
         if key.startswith("_") or not isinstance(recs, list):
             continue
-        short = _strip_prefix(key, kind)
+        short = _strip_prefix(key)
         ns, errs = rmse_curve(recs)
         curves[short] = (ns, errs)
         shape = np.asarray(results["_real"]).shape
@@ -129,25 +153,30 @@ def check_results(results: Dict, kind: Optional[str] = None,
         if short in _RMSE_UNINFORMATIVE or len(errs) <= 2:
             continue
         improved = errs[-1] <= errs[0] * (1 + improve_slack)
-        if improved:
-            status = "pass"
-        elif short == "random":
-            # random not improving characterizes the workload, not the code
-            status = "warn"
-        elif "random" in curves and (
+        worsened = errs[-1] > errs[0] * (1 + improve_slack)
+        tracks_random = "random" in curves and (
             errs[-1] <= curves["random"][1][-1] * (1 + random_slack)
-        ):
-            # metric-flat or criterion-underperforms regimes the reference
-            # itself documents (its ML curves show pred-variance losing to
-            # random at 200/58k ratings): acceptable within the same slack
-            # used for the AUC-vs-random band
+        )
+        if improved:
+            status, note = "pass", "improved"
+        elif worsened and strict_active:
+            # on strict workloads a rising error curve is a defect, not a
+            # regime — no random-slack escape hatch
+            status, note = "fail", "err ROSE on a strict workload"
+        elif tracks_random:
+            # metric-flat regime the reference itself documents (its ML
+            # curves show pred-variance losing to random at 200/58k
+            # ratings): acceptable within the same slack used for the
+            # AUC-vs-random band
+            note = ("err rose but tracks random within slack"
+                    if worsened else "flat, tracks random within slack")
             status = "warn"
         else:
-            status = "fail"
+            status, note = "fail", "err rose beyond random+slack"
         rows.append({
             "check": "learning", "key": short,
             "status": status,
-            "detail": f"err {errs[0]:.4f} -> {errs[-1]:.4f}",
+            "detail": f"err {errs[0]:.4f} -> {errs[-1]:.4f} ({note})",
         })
 
     if "random" in curves:
@@ -157,11 +186,18 @@ def check_results(results: Dict, kind: Optional[str] = None,
             if short in _RMSE_UNINFORMATIVE or len(errs) < 3:
                 continue
             auc = metrics.area_under_curve(ns, errs)
-            ok = auc <= auc_r * (1 + random_slack)
+            if auc <= auc_r:
+                status, note = "pass", "beats random"
+            elif auc <= auc_r * (1 + random_slack):
+                status = "warn" if strict_active else "pass"
+                note = "worse than random, within slack"
+            else:
+                status = "fail" if strict_active else "warn"
+                note = "underperforms random beyond slack"
             rows.append({
                 "check": "active_vs_random", "key": short,
-                "status": "pass" if ok else "warn",
-                "detail": f"auc {auc:.4f} vs random {auc_r:.4f}",
+                "status": status,
+                "detail": f"auc {auc:.4f} vs random {auc_r:.4f} ({note})",
             })
     return rows
 
@@ -179,7 +215,7 @@ def check_cross_engine(results_by_kind: Dict[str, Dict],
                 continue
             fse = first_step_evals(recs)
             if fse is not None:
-                maps.setdefault(_strip_prefix(key, kind), {})[kind] = fse
+                maps.setdefault(_strip_prefix(key), {})[kind] = fse
     for short, by_kind in maps.items():
         kinds = sorted(by_kind)
         for i in range(len(kinds)):
@@ -198,9 +234,15 @@ def check_cross_engine(results_by_kind: Dict[str, Dict],
     return rows
 
 
-def check_experiment_dir(outdir: str) -> Tuple[List[Dict], bool]:
+def check_experiment_dir(outdir: str,
+                         strict_active: Optional[bool] = None
+                         ) -> Tuple[List[Dict], bool]:
     """Check every results_*.pkl in an experiment directory; also writes
-    digest_<kind>.json.gz next to each. Returns (rows, hard_ok)."""
+    digest_<kind>.json.gz next to each. Returns (rows, hard_ok).
+    ``strict_active`` defaults from the directory name (strict on the
+    10x10/drugbank workloads where the reference documents active wins)."""
+    if strict_active is None:
+        strict_active = strict_active_for(outdir)
     rows: List[Dict] = []
     by_kind: Dict[str, Dict] = {}
     for path in sorted(glob.glob(os.path.join(outdir, "results_*.pkl"))):
@@ -211,7 +253,7 @@ def check_experiment_dir(outdir: str) -> Tuple[List[Dict], bool]:
         # main run, not an auxiliary one)
         by_kind.setdefault(kind, res)
         stem = os.path.basename(path)[len("results_"):-len(".pkl")]
-        for row in check_results(res, kind):
+        for row in check_results(res, kind, strict_active=strict_active):
             row["run"] = stem
             rows.append(row)
         dg = digest(res, kind)

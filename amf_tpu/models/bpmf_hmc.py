@@ -211,8 +211,14 @@ def _prior_logp_half_straightforward(
     Cholesky-with-log-diagonal unconstrained cov (Stan's cov_matrix
     transform; Jacobian sum_i (d - i + 2) log L_ii), mu ~
     multi_normal(mu_0, cov / beta_0), rows ~ multi_normal(mu, cov).
-    Same posterior over (U, V) as the reparameterized models; kept for
-    parity with the reference's comparison model. (The reference's .stan
+    NOTE the reference's own variants disagree on the beta_0 scaling:
+    bpmf.stan/bpmf_w0identity.stan put sd 1/beta_0 on the standardized
+    mean (i.e. mu ~ MVN(mu_0, cov/beta_0^2)) while
+    bpmf_straightforward.stan uses cov/beta_0 — so the straightforward
+    posterior differs slightly from the reparameterized ones (PARITY.md
+    lists this as a known reference inconsistency). We mirror each
+    density as written; kept for parity with the reference's comparison
+    model. (The reference's .stan
     file itself declares V as n_users x rank — a latent bug that keeps it
     from compiling on rectangular problems; we implement the intended
     density.)"""

@@ -40,8 +40,8 @@ def main(argv=None):
                              "maps in the results (steps*n*m memory)")
     parser.add_argument("--scan", action="store_true", default=False,
                         help="compile the whole sweep into one device "
-                             "program (fast path"
-                             "are not recorded)")
+                             "program (fast path; use --scan-evals to also "
+                             "record per-step criterion maps)")
     parser.add_argument("--test-set", default="all")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--float32", action="store_true")

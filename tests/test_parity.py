@@ -41,6 +41,29 @@ def test_check_results_fail_on_worsening():
     )
 
 
+def test_strict_active_fails_on_rising_error():
+    # err rises mildly, still within random's slack band: warn normally,
+    # but a HARD fail on strict workloads (10x10/drugbank) where the
+    # reference documents active beating random
+    res = _fake_results([1.0, 1.01, 1.02, 1.04])
+    lax_rows = parity.check_results(res, "apmf", strict_active=False)
+    strict_rows = parity.check_results(res, "apmf", strict_active=True)
+    get = lambda rows: [
+        r for r in rows
+        if r["check"] == "learning" and r["key"] == "pred-variance"
+    ][0]
+    assert get(lax_rows)["status"] == "warn"
+    assert get(strict_rows)["status"] == "fail"
+
+
+def test_strict_active_for_dir_names():
+    assert parity.strict_active_for("experiments/10x10_discrete2_d2")
+    assert parity.strict_active_for("experiments/drugbank-70x306-gibbs/")
+    assert not parity.strict_active_for(
+        "experiments/movielens-58k-from5pct-test5pct-15d"
+    )
+
+
 def test_check_results_structural_fail_on_nan():
     res = _fake_results([1.0, float("nan"), 0.6, 0.5])
     rows = parity.check_results(res, "apmf")
