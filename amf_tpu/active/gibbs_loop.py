@@ -81,6 +81,7 @@ def run_active_gibbs(
     num_samps: int = 128,
     lookahead_samps: int = 30,
     lookahead_tile: int = 0,
+    lookahead_host_tiles: bool = False,
     steps: Optional[int] = None,
     seed: int = 0,
     fit_type: tuple = ("batch",),
@@ -158,6 +159,47 @@ def run_active_gibbs(
 
             run = sharded_candidate_scores(score_flat, n * m, mesh)
             return run(k).reshape(n, m)
+    elif lookahead_host_tiles and lookahead_tile:
+        # One bounded device program PER TILE, dispatched from the host,
+        # instead of a single lax.map program spanning every tile. At
+        # reference scale (70x306: ~335 tiles x (MAP refit + 30-sweep
+        # chain) per lane) the fused whole-sweep program runs for minutes
+        # on-device, which the shared-tunnel TPU worker does not survive;
+        # per-tile dispatch compiles once (fixed chunk shape), keeps each
+        # program to sub-second scale, and lets a crashed step resume at
+        # the driver checkpoint. Lane PRNG streams are global-candidate-
+        # index derived (bpmf_gibbs.lane_keys), so results match the
+        # fused path lane-for-lane.
+        tile = int(lookahead_tile)
+
+        @jax.jit
+        def _tile_scores(k, pst, prob, stats, cand):
+            return bpmf_gibbs.exp_variance_scores(
+                k, pst, prob, pcfg, gcfg, stats, vals,
+                num_samps=lookahead_samps, n_base_samples=num_samps,
+                cand=cand,
+            )
+
+        def lookahead_fn(k, pst, prob, stats):
+            queryable = np.asarray(prob.queryable).ravel()
+            cand_all = np.flatnonzero(queryable).astype(np.int32)
+            out = np.full(n * m, np.nan)
+            pad = (-len(cand_all)) % tile
+            cand_pad = np.concatenate(
+                [cand_all, np.zeros(pad, np.int32)]
+            )
+            n_tiles = len(cand_pad) // tile
+            for t in range(n_tiles):
+                chunk = cand_pad[t * tile:(t + 1) * tile]
+                s = np.asarray(
+                    _tile_scores(k, pst, prob, stats, jnp.asarray(chunk))
+                )
+                take = tile if t < n_tiles - 1 else tile - pad
+                out[chunk[:take]] = s[:take]
+                if verbose and (t % 32 == 0 or t == n_tiles - 1):
+                    print(f"    lookahead tile {t + 1}/{n_tiles}",
+                          flush=True)
+            return jnp.asarray(out, dtype).reshape(n, m)
     else:
         lookahead_fn = jax.jit(
             lambda k, pst, prob, stats: bpmf_gibbs.exp_variance_scores(

@@ -151,18 +151,16 @@ def _sample_rows(
     S = alpha[None] + beta * (maskf @ vv).reshape(-1, d, d)
     rhs = beta * ((maskf * ratings_c) @ other) + (alpha @ mu)[None, :]
 
-    L = jnp.linalg.cholesky(S)  # batched
-    # mean = S^{-1} rhs via two triangular solves
-    y = jax.scipy.linalg.solve_triangular(L, rhs[..., None], lower=True)
-    mean = jax.scipy.linalg.solve_triangular(
-        jnp.swapaxes(L, -1, -2), y, lower=False
-    )[..., 0]
-    # z ~ N(0, I); solve L^T x = z gives x ~ N(0, S^{-1})
-    z = jax.random.normal(key, mean.shape, dtype=mean.dtype)
-    x = jax.scipy.linalg.solve_triangular(
-        jnp.swapaxes(L, -1, -2), z[..., None], lower=False
-    )[..., 0]
-    return mean + x
+    # z ~ N(0, I); x = S^{-1} rhs + chol(S)^{-T} z ~ N(S^{-1} rhs, S^{-1}).
+    # Dispatches to the fused Pallas factor-and-solve kernel on TPU f32
+    # (ops/chol_kernel.py): XLA's batched small-matrix cholesky re-reads the
+    # whole batch every elimination step and dominated the entire lookahead
+    # chain (~98% measured at 70x306 lookahead width, 44-72x slower than the
+    # kernel).
+    z = jax.random.normal(key, rhs.shape, dtype=rhs.dtype)
+    from amf_tpu.ops.chol_kernel import chol_solve_sample
+
+    return chol_solve_sample(S, rhs, z)
 
 
 def gibbs_round(

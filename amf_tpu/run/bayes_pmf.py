@@ -32,6 +32,13 @@ def main(argv=None):
     parser.add_argument("--lookahead-samps", type=int, default=30)
     parser.add_argument("--lookahead-tile", type=int, default=256,
                         help="candidates per vmapped lookahead pass (memory bound)")
+    parser.add_argument("--lookahead-host-tiles", action="store_true",
+                        default=False,
+                        help="dispatch each lookahead tile as its own "
+                             "device program from the host (bounded "
+                             "program length; survives at reference "
+                             "scale where the fused whole-sweep program "
+                             "does not)")
     parser.add_argument("--shard-candidates", type=int, default=0,
                         metavar="N_DEVICES",
                         help="shard lookahead candidates over an N-device mesh")
@@ -149,6 +156,7 @@ def main(argv=None):
             num_samps=args.samps,
             lookahead_samps=args.lookahead_samps,
             lookahead_tile=args.lookahead_tile,
+            lookahead_host_tiles=args.lookahead_host_tiles,
             mesh=mesh,
             steps=args.steps,
             seed=args.seed,

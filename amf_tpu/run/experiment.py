@@ -104,13 +104,16 @@ def catalog() -> Dict[str, Experiment]:
                 "--checkpoint", "{out}/ckpt_mmmf.pkl",
                 "--save-results", "{out}/results_mmmf.pkl", "--no-verbose",
             ],
-            # Makefile:158-166: --delta 1.5 --pred-mean, entropy random
+            # Makefile:158-166: --delta 1.5 --pred-mean, entropy random;
+            # the registry's remaining ge-1/ge-4 selectors
+            # (active_rc.py:22-27) are run too so every RC key has a
+            # recorded sweep on this workload
             "rc": [
                 "amf_tpu.run.active_rc", "--load-data", "{data}",
                 "--delta", "1.5", "--pred-mode",
                 "--checkpoint", "{out}/ckpt_rc.pkl",
                 "--save-results", "{out}/results_rc.pkl", "--no-verbose",
-                "entropy", "random",
+                "entropy", "random", "ge-1", "ge-4",
             ],
         },
     )
@@ -245,6 +248,41 @@ def catalog() -> Dict[str, Experiment]:
         },
     )
 
+    # ---- MovieLens-58k new-movies cold start, d=20 variant
+    # (results/movielens-58k-newmovies-10%/Makefile): identical data recipe
+    # to the -10d dir, LATENT_D=20; runs the newitems two-phase loop
+    # (initfit s200/w200 -> s200/w100, 200 steps) and the mmmf arm
+    # (Makefile:81-88, -C 1 --cutoff 3.5, all selectors, full sweep).
+    exps["movielens-58k-newmovies-10pct-20d"] = Experiment(
+        name="movielens-58k-newmovies-10pct-20d",
+        source="results/movielens-58k-newmovies-10%/Makefile",
+        data_cmd=[
+            "amf_tpu.run.choose_training", ("dataset", "movielens-58k"),
+            "{data}",
+            "--new-item-frac", "0.1", "--pick-no-extras",
+            "--test-at-random", "--test-known-frac", "0.05",
+        ],
+        runs={
+            "stan_newitems": [
+                "amf_tpu.run.bpmf_newitems", "--load-data", "{data}",
+                "--latent-d", "20",
+                "--initial-fit-file", "{out}/initfit_s200w200.npz",
+                "--initial-fit-samps", "200",
+                "--samps", "200", "--warmup", "100",
+                "--steps", "200", "--float32",
+                "--save-results", "{out}/results_stan_newitems.pkl",
+                "--no-verbose",
+                "random", "pred-variance", "pred", "prob-ge-3.5",
+            ],
+            "mmmf": [
+                "amf_tpu.run.active_mmmf", "--load-data", "{data}",
+                "-C", "1", "--cutoff", "3.5", "--steps", "200",
+                "--checkpoint", "{out}/ckpt_mmmf.pkl",
+                "--save-results", "{out}/results_mmmf.pkl", "--no-verbose",
+            ],
+        },
+    )
+
     # ---- DrugBank 94x425 equal-class
     # (results/drugbank-94x425/Makefile:32,41-66): 500 drugbank-picked seeds,
     # 2000 equal-class test cells, binary accuracy, d=20, 150 steps, C=1
@@ -303,11 +341,19 @@ def catalog() -> Dict[str, Experiment]:
                 "--save-results", "{out}/results_bayes.pkl", "--no-verbose",
                 "random", "pred-variance", "prob-ge-0",
             ],
+            # full-length exp-variance MCMC lookahead at reference scale:
+            # ~20k candidates x 2 values, each lane a MAP refit + 30-sample
+            # Gibbs chain, per step. Host-dispatched tiles (one bounded
+            # device program per 256 candidates; the fused whole-sweep
+            # program did not survive the TPU worker) + the fused Pallas
+            # cholesky row-draw kernel (ops/chol_kernel.py) make this
+            # ~1.4 min/sweep on a v5e chip.
             "bayes_lookahead": [
                 "amf_tpu.run.bayes_pmf", "--load-data", "{data}",
                 "--latent-d", "20", "--subtract-mean",
-                "--samps", "128", "--steps", "15", "--float32",
-                "--lookahead-samps", "30", "--lookahead-tile", "64",
+                "--samps", "128", "--steps", "150", "--float32",
+                "--lookahead-samps", "30", "--lookahead-tile", "256",
+                "--lookahead-host-tiles",
                 "--checkpoint", "{out}/ckpt_bayes_la.pkl",
                 "--save-results", "{out}/results_bayes_la.pkl",
                 "--no-verbose", "exp-variance",

@@ -158,6 +158,24 @@ def test_gibbs_exp_variance_loop(gibbs_problem):
     assert len(res["exp-variance"]) == 2
 
 
+def test_gibbs_exp_variance_host_tiles_matches_fused(gibbs_problem):
+    """Per-tile host dispatch == the fused whole-sweep program, record for
+    record (the lane PRNG streams are global-candidate-index derived)."""
+    real, prob, vals = gibbs_problem
+    kw = dict(
+        latent_d=2, rating_values=vals, num_samps=16, lookahead_samps=6,
+        steps=2, seed=0,
+    )
+    fused = gibbs_loop.run_active_gibbs(
+        prob, real, ["exp-variance"], lookahead_tile=0, **kw)
+    tiled = gibbs_loop.run_active_gibbs(
+        prob, real, ["exp-variance"], lookahead_tile=5,
+        lookahead_host_tiles=True, **kw)
+    for rf, rt in zip(fused["exp-variance"], tiled["exp-variance"]):
+        assert rf[0] == rt[0] and rf[2] == rt[2]
+        np.testing.assert_allclose(rf[1], rt[1], rtol=1e-6)
+
+
 def test_split_query_test():
     rng = np.random.default_rng(0)
     real = rng.integers(1, 6, size=(10, 10)).astype(float)
