@@ -113,7 +113,57 @@ def run_dryrun(n_devices: int) -> None:
     assert np.isfinite(gs[queryable]).all()
     assert np.isnan(gs[~queryable]).all()
 
+    # --- NUTS-family sharded lookahead: exp-variance via short NUTS chains
+    # per candidate lane (the reference's R/Stan-NUTS-per-candidate hot loop,
+    # stan-bpmf/bpmf.py:456-459,488-491)
+    from amf_tpu.models import bpmf_hmc, sample_stats
+
+    hcfg = bpmf_hmc.HMCConfig(latent_d=2, subtract_mean=True)
+    hst = bpmf_hmc.init_state(prob, hcfg, dtype=jnp.float32)
+    hst, hsamps = bpmf_hmc.samples(jax.random.fold_in(key, 5), hst, prob,
+                                   hcfg, 8, 4)
+    hbase = sample_stats.prediction_stats(
+        hsamps["U"], hsamps["V"], hst.mean_rating, hcfg.subtract_mean,
+        value_bounds=tuple(types.rating_bounds(vals)),
+    )
+
+    def hmc_flat(cand, k):
+        return bpmf_hmc.lookahead_scores(
+            k, hst, prob, hcfg, hbase, vals, num_samps=3, warmup=2,
+            n_base_samples=8, cand=cand,
+        )
+
+    hmc_scores = jax.jit(
+        sharded_candidate_scores(hmc_flat, n * m, mesh)
+    )(jax.random.fold_in(key, 6))
+    hs = np.asarray(hmc_scores)
+    assert np.isfinite(hs[queryable]).all()
+    assert np.isnan(hs[~queryable]).all()
+
+    # --- RC-family sharded lookahead: 1-step lowest-entropy refits (the
+    # reference's refit-the-full-maxent-model-per-candidate MATLAB loop,
+    # select_1step_lowest_entropy.m:25-28)
+    from amf_tpu.models import ratingconc as rc
+
+    rcfg = rc.RCConfig(
+        rating_values=tuple(float(v) for v in sorted(vals)), max_iters=25)
+    x0, rdata, _ = rc.fit(prob, rcfg, dtype=jnp.float32)
+
+    def rc_flat(cand, _k):
+        return rc.entropy_lookahead_scores(
+            x0, rdata, prob, rcfg, lookahead_iters=8, dtype=jnp.float32,
+            cand=cand,
+        )
+
+    rc_scores = jax.jit(
+        sharded_candidate_scores(rc_flat, n * m, mesh)
+    )(jax.random.PRNGKey(0))
+    rs = np.asarray(rc_scores)
+    assert np.isnan(rs).sum() < rs.size  # queryable cells scored
+
     print(
-        f"dryrun_multichip ok: {n_devices} devices, full vn lookahead step + "
-        f"sharded Gibbs exp-variance, picked cell ({flat // m}, {flat % m})"
+        f"dryrun_multichip ok: {n_devices} devices, 4 sharded lookahead "
+        f"families (vn total-variance full step, Gibbs exp-variance, "
+        f"NUTS exp-variance, RC 1-step entropy), picked cell "
+        f"({flat // m}, {flat % m})"
     )
