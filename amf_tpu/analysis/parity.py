@@ -234,6 +234,53 @@ def check_cross_engine(results_by_kind: Dict[str, Dict],
     return rows
 
 
+def aggregate_seed_checks(
+    seed_dirs: List[str],
+    strict_active: bool = False,
+    random_slack: float = 0.10,
+) -> List[Dict]:
+    """Acceptance bands over SEED MEANS (VERDICT r2: single-seed 10x10
+    bands are noisy draws). Reads the digest_*.json.gz files previously
+    written in each seed dir; for every (run, criterion) the statistic is
+    the per-seed AUC ratio vs that SAME seed's random arm, aggregated as
+    mean +/- spread across seeds."""
+    per: Dict[Tuple[str, str], List[Tuple[float, Optional[float]]]] = {}
+    for d in seed_dirs:
+        for dpath in sorted(glob.glob(os.path.join(d, "digest_*.json.gz"))):
+            with gzip.open(dpath, "rt") as f:
+                dg = json.load(f)
+            stem = os.path.basename(dpath)[len("digest_"):-len(".json.gz")]
+            crits = dg.get("criteria", {})
+            rand_auc = (crits.get("random") or {}).get("auc")
+            for key, c in crits.items():
+                per.setdefault((stem, key), []).append((c["auc"], rand_auc))
+    rows: List[Dict] = []
+    for (stem, key), entries in sorted(per.items()):
+        if key in _RMSE_UNINFORMATIVE:
+            continue
+        ratios = [a / r for a, r in entries if r]
+        if len(ratios) < 2:
+            continue
+        mean = float(np.mean(ratios))
+        spread = float(np.std(ratios))
+        if mean <= 1.0:
+            status, note = "pass", "beats random on seed mean"
+        elif mean <= 1.0 + random_slack:
+            status = "warn" if strict_active else "pass"
+            note = "worse than random on seed mean, within slack"
+        else:
+            status = "fail" if strict_active else "warn"
+            note = "underperforms random on seed mean beyond slack"
+        rows.append({
+            "check": "seed_active_vs_random",
+            "key": f"{stem}:{key}",
+            "status": status,
+            "detail": f"auc/random over {len(ratios)} seeds: "
+                      f"{mean:.4f} +/- {spread:.4f} ({note})",
+        })
+    return rows
+
+
 def check_experiment_dir(outdir: str,
                          strict_active: Optional[bool] = None
                          ) -> Tuple[List[Dict], bool]:

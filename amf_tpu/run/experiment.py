@@ -480,6 +480,11 @@ def main(argv=None):
                         help="override the step budget of every run")
     parser.add_argument("--force", action="store_true",
                         help="rerun even if the result file exists")
+    parser.add_argument("--seeds", type=int, default=None, metavar="N",
+                        help="run N seed replicates under <out>/seed<k>/ "
+                             "(k=1..N), varying both the data draw and the "
+                             "model RNG; with --check, aggregates bands "
+                             "over seed means into the parent report")
     parser.add_argument("--check", action="store_true",
                         help="run parity acceptance checks on the "
                              "experiment's existing results (writes "
@@ -500,12 +505,30 @@ def main(argv=None):
     out = os.path.join(args.outdir, exp.name)
     os.makedirs(out, exist_ok=True)
 
+    seed_dirs = (
+        [os.path.join(out, f"seed{k}") for k in range(1, args.seeds + 1)]
+        if args.seeds else []
+    )
+
     if args.check:
         import json
 
-        from amf_tpu.analysis.parity import check_experiment_dir
+        from amf_tpu.analysis.parity import (
+            aggregate_seed_checks, check_experiment_dir, strict_active_for)
 
-        rows, hard_ok = check_experiment_dir(out)
+        rows = []
+        hard_ok = True
+        for d in ([out] if not seed_dirs else seed_dirs):
+            drows, dok = check_experiment_dir(d)
+            if seed_dirs:
+                for r in drows:
+                    r["seed_dir"] = os.path.basename(d)
+            rows.extend(drows)
+            hard_ok = hard_ok and dok
+        if seed_dirs:
+            agg = aggregate_seed_checks(seed_dirs, strict_active_for(out))
+            rows.extend(agg)
+            hard_ok = hard_ok and all(r["status"] != "fail" for r in agg)
         if not rows:
             sys.stderr.write(f"no results_*.pkl under {out}\n")
             sys.exit(2)
@@ -515,17 +538,35 @@ def main(argv=None):
                   f"{r['key']:<{width}}  {r['detail']}")
         report = {"experiment": exp.name, "source": exp.source,
                   "git_rev": _git_rev(), "checks": rows, "hard_ok": hard_ok}
-        rpath = os.path.join(out, "parity_report.json")
+        if args.seeds:
+            report["seeds"] = args.seeds
+        rpath = os.path.join(
+            out, "parity_report_seeds.json" if seed_dirs
+            else "parity_report.json")
         with open(rpath, "w") as f:
             json.dump(report, f, indent=1)
         print(f"\nreport: {rpath}  hard_ok={hard_ok}")
         sys.exit(0 if hard_ok else 1)
+
+    for run_dir, seed in (
+        [(out, None)] if not seed_dirs
+        else [(d, k + 1) for k, d in enumerate(seed_dirs)]
+    ):
+        os.makedirs(run_dir, exist_ok=True)
+        _run_experiment_once(exp, run_dir, args, seed)
+
+    print(f"\nexperiment {exp.name} complete; results under {out}/")
+
+
+def _run_experiment_once(exp: Experiment, out: str, args, seed=None) -> None:
+    """Data prep + model runs for one (experiment, seed) replicate."""
     # choose_training saves via np.savez_compressed, which appends .npz to
     # any other suffix — name the file accordingly or it is never found
     mod0 = exp.data_cmd[0]
     suffix = ".npz" if "choose_training" in mod0 else ".pkl"
     data = os.path.join(out, "data" + suffix)
     rev = _git_rev()
+    seed_args = [] if seed is None else ["--seed", str(seed)]
 
     if not os.path.exists(data):
         cmd = _fill(exp.data_cmd, data, out)
@@ -533,6 +574,7 @@ def main(argv=None):
             print(f"copying reference data: {cmd[1]} -> {cmd[2]}")
             shutil.copyfile(cmd[1], cmd[2])
         else:
+            cmd = cmd + seed_args
             print("preparing data:", " ".join(cmd))
             mod, *rest = cmd
             subprocess.run([sys.executable, "-m", mod, *rest], check=True)
@@ -561,15 +603,14 @@ def main(argv=None):
                 cmd[cmd.index("--steps") + 1] = str(args.steps)
             else:
                 cmd = cmd[:1] + ["--steps", str(args.steps)] + cmd[1:]
-        cmd = cmd + ["--note", f"git-rev:{rev}", "--note", f"experiment:{exp.name}"]
+        cmd = cmd + seed_args + [
+            "--note", f"git-rev:{rev}", "--note", f"experiment:{exp.name}"]
         print(f"[{kind}] running:", " ".join(cmd))
         mod, *rest = cmd
         proc = subprocess.run([sys.executable, "-m", mod, *rest])
         if proc.returncode != 0:
             sys.stderr.write(f"[{kind}] FAILED (exit {proc.returncode})\n")
             sys.exit(proc.returncode)
-
-    print(f"\nexperiment {exp.name} complete; results under {out}/")
 
 
 if __name__ == "__main__":

@@ -64,6 +64,32 @@ def test_strict_active_for_dir_names():
     )
 
 
+def test_aggregate_seed_checks(tmp_path):
+    import gzip
+    import json
+
+    # three seed dirs; pred-variance beats random in 2 of 3 but loses in
+    # one — the seed-mean ratio decides, per-seed noise does not
+    for k, ratio in enumerate([0.9, 0.95, 1.02]):
+        d = tmp_path / f"seed{k+1}"
+        d.mkdir()
+        dg = {"criteria": {
+            "random": {"auc": 100.0, "err": [1.0, 0.9], "n_rated": [4, 5]},
+            "pred-variance": {"auc": 100.0 * ratio, "err": [1.0, 0.8],
+                              "n_rated": [4, 5]},
+        }}
+        with gzip.open(d / "digest_apmf.json.gz", "wt") as f:
+            json.dump(dg, f)
+    rows = parity.aggregate_seed_checks(
+        [str(tmp_path / f"seed{k}") for k in (1, 2, 3)], strict_active=True)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["check"] == "seed_active_vs_random"
+    assert r["key"] == "apmf:pred-variance"
+    assert r["status"] == "pass"  # mean ratio ~0.957 < 1
+    assert "3 seeds" in r["detail"]
+
+
 def test_check_results_structural_fail_on_nan():
     res = _fake_results([1.0, float("nan"), 0.6, 0.5])
     rows = parity.check_results(res, "apmf")
