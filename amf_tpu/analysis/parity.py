@@ -213,6 +213,10 @@ def check_cross_engine(results_by_kind: Dict[str, Dict],
         for key, recs in res.items():
             if key.startswith("_") or not isinstance(recs, list):
                 continue
+            if _strip_prefix(key) == "random":
+                # two uniform-noise maps: tau ~ 0 by construction, not a
+                # cross-implementation signal
+                continue
             fse = first_step_evals(recs)
             if fse is not None:
                 maps.setdefault(_strip_prefix(key), {})[kind] = fse
