@@ -143,7 +143,6 @@ def bench_gibbs_exp_variance(jax, jnp, prob, vals):
 
     # device-only: 3 dependence-chained sweeps of one tile in one program
     # (the difference vs one sweep cancels the ~30 ms tunnel dispatch)
-    @jax.jit
     def tile_rep(k, cand, reps):
         def body(c, _):
             s = tile_scores(jax.random.fold_in(k, c.astype(jnp.int32)), cand)
