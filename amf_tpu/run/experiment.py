@@ -83,7 +83,7 @@ def catalog() -> Dict[str, Experiment]:
             # lookahead s100/w50
             "stan": [
                 "amf_tpu.run.bpmf", "--load-data", "{data}",
-                "--latent-d", "2", "--no-subtract-mean",
+                "--latent-d", "2", "--no-subtract-mean", "--float32",
                 "--samps", "200", "--warmup", "200",
                 "--lookahead-samps", "100", "--lookahead-warmup", "50",
                 "--checkpoint", "{out}/ckpt_stan.pkl",
@@ -131,7 +131,8 @@ def catalog() -> Dict[str, Experiment]:
             # Makefile:45-56: stan all keys, --test-set all, s200/w100
             "stan": [
                 "amf_tpu.run.bpmf", "--load-data", "{data}",
-                "--latent-d", "4", "--no-subtract-mean", "--test-set", "all",
+                "--latent-d", "4", "--no-subtract-mean", "--float32",
+                "--test-set", "all",
                 "--samps", "200", "--warmup", "100",
                 "--lookahead-samps", "100", "--lookahead-warmup", "50",
                 "--checkpoint", "{out}/ckpt_stan.pkl",
