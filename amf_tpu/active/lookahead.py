@@ -39,6 +39,11 @@ class LookaheadConfig(NamedTuple):
     # candidates per vmapped pass; each lane carries its own problem copy and
     # approximation state, so this bounds peak memory (0 = all at once).
     candidate_tile: int = 0
+    # polynomial-in-alpha line search for the in-lookahead MAP refits
+    # (ops.linesearch.adaptive_descent_poly): rejected learning rates cost a
+    # scalar quartic eval instead of a value pass. Same trajectory up to f32
+    # near-ties — scoring-grade, so on by default for the fan-out.
+    poly_ls: bool = True
 
 
 class ModelAdapter(NamedTuple):
@@ -182,7 +187,8 @@ def lookahead_scores(
         if lcfg.refit_lookahead:
             # reference: do_fit() then initialize_approx() with a fresh
             # random covariance (active_pmf.py:671-673)
-            pst, _ = pmf.fit(pst, prob2, pcfg, max_steps=lcfg.pmf_refit_steps)
+            pst, _ = pmf.fit(pst, prob2, pcfg, max_steps=lcfg.pmf_refit_steps,
+                             poly_ls=lcfg.poly_ls)
             ast = adapter.init_approx(subkey, pst)
         ast = adapter.fit_approx(ast, pst, prob2, lcfg.approx_refit_steps)
         return stat(pst, ast, prob2, v)

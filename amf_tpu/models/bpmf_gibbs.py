@@ -283,6 +283,7 @@ def exp_variance_scores(
     n_base_samples: int = 128,
     candidate_tile: int = 0,
     num_integration_pts: int = 50,
+    poly_ls: bool = True,
 ) -> jax.Array:
     """E[total Var[R]] after hypothetically observing each candidate cell.
 
@@ -328,7 +329,12 @@ def exp_variance_scores(
         pst = pmf_state
         if fit_first:
             pst = pmf.refresh_mean_rating(pst, prob2)
-            pst, _ = pmf.fit(pst, prob2, pcfg, max_steps=fit_budget)
+            # poly_ls: rejected lrs in the per-lane MAP refit are adjudicated
+            # by an exact scalar quartic (ops.linesearch.adaptive_descent_poly)
+            # instead of full value passes — the refit ladder dominates this
+            # fan-out's cost (~4.6 rejects/accept measured at ML-100k shape)
+            pst, _ = pmf.fit(pst, prob2, pcfg, max_steps=fit_budget,
+                             poly_ls=poly_ls)
         chain = init_chain(pst)
         _, stats, _ = run_chain(k, chain, prob2, cfg, num_samps)
         # total variance over ALL cells: the reference's lookahead calls

@@ -28,7 +28,9 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from amf_tpu.ops.linesearch import DescentInfo, adaptive_descent
+from amf_tpu.ops.linesearch import (
+    DescentInfo, adaptive_descent, adaptive_descent_poly,
+)
 from amf_tpu.types import Problem
 
 
@@ -134,9 +136,47 @@ def gradient(
     return grad_u, grad_v
 
 
+def _delta_poly(state, problem, cfg, uv, g):
+    """Exact improvement quartic along the ascent ray (poly line search).
+
+    The neg-log-posterior at ``(U + a*gu, V + a*gv)`` is a quartic in ``a``
+    because pred' = pred + a*P1 + a^2*P2 with P1 = gu V^T + U gv^T,
+    P2 = gu gv^T.  Returns (c1..c4) of the IMPROVEMENT polynomial
+    ``delta(a) = f(0) - f(a)`` — built from masked cross-reductions directly,
+    so no big-value cancellation enters the accept/reject decision.
+    """
+    U, V = uv
+    gu, gv = g
+    pred = U @ V.T
+    if cfg.subtract_mean:
+        pred = pred + state.mean_rating
+    E = jnp.where(problem.rated, problem.R_obs - pred, 0.0)
+    P1 = gu @ V.T + U @ gv.T
+    P2 = gu @ gv.T
+    mp1 = jnp.where(problem.rated, P1, 0.0)
+    mp2 = jnp.where(problem.rated, P2, 0.0)
+    a1 = jnp.vdot(E, mp1)
+    a2 = jnp.vdot(E, mp2)
+    a11 = jnp.vdot(mp1, mp1)
+    a12 = jnp.vdot(mp1, mp2)
+    a22 = jnp.vdot(mp2, mp2)
+    s = state.sigma_sq
+    b1 = jnp.vdot(U, gu) / state.sigma_u_sq + jnp.vdot(V, gv) / state.sigma_v_sq
+    b2 = 0.5 * (
+        jnp.vdot(gu, gu) / state.sigma_u_sq
+        + jnp.vdot(gv, gv) / state.sigma_v_sq
+    )
+    c1 = a1 / s - b1
+    c2 = -(a11 - 2.0 * a2) / (2.0 * s) - b2
+    c3 = -a12 / s
+    c4 = -a22 / (2.0 * s)
+    return c1, c2, c3, c4
+
+
 def fit(
     state: PMFState, problem: Problem, cfg: PMFConfig,
     max_steps: Optional[int] = None,
+    poly_ls: bool = False,
 ) -> Tuple[PMFState, DescentInfo]:
     """Batch MAP fit — the reference's ``fit_lls`` adaptive-LR ascent
     (pmf.py:179-211) as a single compiled while-loop.
@@ -144,6 +184,12 @@ def fit(
     Matches the reference trajectory: gradient recomputed only on accepted
     steps; lr grows 1.25x on accept, halves on reject; stops when an accepted
     step improves by < stop_thresh or lr < min_learning_rate.
+
+    ``poly_ls=True`` switches to the polynomial-in-alpha epoch loop
+    (ops.linesearch.adaptive_descent_poly): rejected learning rates are
+    adjudicated by an exact scalar quartic instead of full value passes —
+    same trajectory up to f32 near-ties (scoring-grade; used by the
+    lookahead refit fan-outs where the reject-heavy ladder dominates).
     """
     max_steps = cfg.max_fit_steps if max_steps is None else max_steps
 
@@ -158,6 +204,19 @@ def fit(
 
     def step_fn(uv, g, lr):
         return (uv[0] + lr * g[0], uv[1] + lr * g[1])
+
+    if poly_ls:
+        (U, V), info = adaptive_descent_poly(
+            (state.U, state.V),
+            value_and_grad_fn,
+            step_fn,
+            lambda uv, g: _delta_poly(state, problem, cfg, uv, g),
+            lr0=cfg.learning_rate,
+            stop_thresh=cfg.stop_thresh,
+            min_lr=cfg.min_learning_rate,
+            max_steps=max_steps,
+        )
+        return state.replace(U=U, V=V), info
 
     (U, V), info = adaptive_descent(
         (state.U, state.V),

@@ -120,6 +120,109 @@ def adaptive_descent(
     return x, DescentInfo(f, lr, n_iters, n_accepts)
 
 
+def adaptive_descent_poly(
+    x0,
+    value_and_grad_fn: Callable,
+    step_fn: Callable,
+    delta_poly_fn: Callable,
+    lr0: float,
+    stop_thresh: float,
+    min_lr: float,
+    max_steps: int,
+    grow: float = 1.25,
+    shrink: float = 0.5,
+    max_rungs: int = 64,
+) -> Tuple[object, DescentInfo]:
+    """Polynomial-in-alpha variant of ``adaptive_descent`` (ROADMAP perf #1).
+
+    Exploits that for bilinear models (PMF and its lookahead refits) the
+    objective along a fixed ray ``x + alpha*g`` is an exact quartic, so every
+    *rejected* proposal can be adjudicated by evaluating a scalar polynomial
+    instead of a full value pass.  One "epoch" = one fused value+grad pass at
+    the current accepted point + one ``delta_poly_fn`` pass; the whole
+    halving ladder ``lr, lr/2, lr/4, ...`` is then walked in closed form.
+    Measured on the ML-100k refit (scripts/probe_ls_rejects.py): 4.6 rejects
+    per accept, i.e. ~5.6 kernel passes per accepted step collapse to ~2.
+
+    Args:
+      delta_poly_fn: ``(x, g) -> (c1, c2, c3, c4)`` such that EXACTLY
+        ``f(step_fn(x, g, a)) = f(x) - (c1 a + c2 a^2 + c3 a^3 + c4 a^4)``.
+        Requires ``step_fn`` linear in ``lr`` and ``f`` quartic along the ray
+        (true for the PMF/lookahead losses; see models.pmf._delta_poly).
+
+    Trajectory semantics match ``adaptive_descent`` (reference fit_lls,
+    pmf.py:179-211): accept iff the improvement is finite and > 0; on accept
+    lr *= grow and convergence when improvement < stop_thresh; on reject
+    lr *= shrink and convergence when lr*shrink < min_lr; ``n_iters`` counts
+    proposals (accepted or not) against ``max_steps``.  Decisions are made on
+    the difference polynomial directly (no large-value cancellation), so
+    near-tie accept/reject flips vs the subtract-two-big-floats path are
+    possible at f32 rounding scale — scoring-grade, not bitwise.
+    """
+    f0, g0 = value_and_grad_fn(x0)
+    zero = jnp.zeros((), f0.dtype) * f0
+    x0 = jax.tree.map(lambda a: a + zero.astype(a.dtype), x0)
+    lr0_arr = jnp.asarray(lr0, dtype=f0.dtype) + zero
+    done0 = jnp.asarray(False) | (zero != 0)
+    iter0 = jnp.int32(0) + zero.astype(jnp.int32)
+
+    def _select(pred, a, b):
+        return jax.tree.map(lambda u, v: jnp.where(pred, u, v), a, b)
+
+    def cond(carry):
+        _, _, _, done, n_iters, _ = carry
+        return jnp.logical_and(~done, n_iters < max_steps)
+
+    def body(carry):
+        x, lr, old_f, done, n_iters, n_accepts = carry
+        f, g = value_and_grad_fn(x)  # f == old_f up to determinism; refresh
+        c1, c2, c3, c4 = delta_poly_fn(x, g)
+
+        t = jnp.arange(max_rungs, dtype=jnp.int32)
+        alpha = lr * (shrink ** t.astype(f.dtype))
+        d = alpha * (c1 + alpha * (c2 + alpha * (c3 + alpha * c4)))
+        accept = jnp.isfinite(d) & (d > 0)
+        # reject-convergence: after rejecting rung t the next lr would sink
+        # below min_lr -> lane stops without accepting
+        stop_rej = ~accept & (alpha * shrink < min_lr)
+        # rung t is examined iff every earlier rung was a plain reject
+        # (no accept, no reject-convergence) and the proposal budget allows
+        prev_ok = jnp.concatenate([
+            jnp.ones((1,), bool),
+            jnp.cumprod((~accept & ~stop_rej).astype(jnp.int32))[:-1].astype(bool),
+        ])
+        examined = prev_ok & ((n_iters + t) < max_steps)
+        hit = examined & accept
+        any_hit = jnp.any(hit)
+        t_star = jnp.argmax(hit).astype(jnp.int32)  # first True
+        alpha_star = alpha[t_star]
+        d_star = d[t_star]
+        consumed = jnp.where(
+            any_hit, t_star + 1, jnp.sum(examined.astype(jnp.int32))
+        ).astype(jnp.int32)
+
+        x = _select(any_hit, step_fn(x, g, alpha_star), x)
+        new_f = jnp.where(any_hit, f - d_star, f)
+        new_lr = jnp.where(
+            any_hit,
+            alpha_star * grow,
+            lr * (shrink ** consumed.astype(f.dtype)),
+        )
+        conv = jnp.where(any_hit, d_star < stop_thresh, True)
+        return (
+            x,
+            new_lr,
+            new_f,
+            done | conv,
+            n_iters + consumed,
+            n_accepts + any_hit.astype(jnp.int32),
+        )
+
+    init = (x0, lr0_arr, f0, done0, iter0, iter0)
+    x, lr, f, _, n_iters, n_accepts = jax.lax.while_loop(cond, body, init)
+    return x, DescentInfo(f, lr, n_iters, n_accepts)
+
+
 def _adaptive_descent_fused(
     x0, value_and_grad_fn, step_fn, lr0, stop_thresh, min_lr, max_steps,
     grow, shrink,

@@ -182,3 +182,66 @@ def test_fit_lbfgs_reaches_map(rng, key):
     # dispatch through the fit-type DSL
     st_dsl = pmf.do_fit(st, prob, cfg, fit_type=pmf.parse_fit_type("lbfgs,200"))
     assert float(pmf.log_likelihood(st_dsl, prob, cfg)) >= ll_grad - 1e-2
+
+
+def test_poly_ls_quartic_is_exact(rng, key):
+    """The improvement polynomial (pmf._delta_poly) must equal the directly
+    evaluated f(0) - f(alpha) along the ascent ray, for any alpha — the
+    exactness adaptive_descent_poly's closed-form ladder walk relies on."""
+    real, prob = _problem(rng, n=10, m=9)
+    cfg = pmf.PMFConfig(latent_d=3, subtract_mean=True)
+    st = pmf.init_state(key, *prob.shape, cfg, prob, dtype=jnp.float64)
+    st = pmf.refresh_mean_rating(st, prob)
+    gu, gv = pmf.gradient(st, prob, cfg)
+    c1, c2, c3, c4 = pmf._delta_poly(st, prob, cfg, (st.U, st.V), (gu, gv))
+
+    def f(alpha):
+        return float(-pmf.log_likelihood(
+            st, prob, cfg, U=st.U + alpha * gu, V=st.V + alpha * gv))
+
+    f0 = f(0.0)
+    for alpha in (1e-6, 1e-4, 3e-3, 0.1, 1.7):
+        delta = float(
+            alpha * (c1 + alpha * (c2 + alpha * (c3 + alpha * c4))))
+        np.testing.assert_allclose(f0 - f(alpha), delta, rtol=1e-8, atol=1e-10)
+
+
+def test_poly_ls_matches_plain_trajectory(rng, key):
+    """In float64 the polynomial line search reproduces the plain
+    accept/reject trajectory bit-for-bit (same exact quartic, no rounding
+    flips at f64 precision on this scale)."""
+    real, prob = _problem(rng, n=12, m=10, noise=0.05, mask=0.5)
+    cfg = pmf.PMFConfig(latent_d=3, max_fit_steps=800)
+    st = pmf.init_state(key, *prob.shape, cfg, prob, dtype=jnp.float64)
+    st_a, ia = pmf.fit(st, prob, cfg)
+    st_b, ib = pmf.fit(st, prob, cfg, poly_ls=True)
+    assert int(ia.n_iters) == int(ib.n_iters)
+    assert int(ia.n_accepts) == int(ib.n_accepts)
+    np.testing.assert_allclose(np.asarray(st_b.U), np.asarray(st_a.U),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(st_b.V), np.asarray(st_a.V),
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_poly_ls_vmap_safe(rng, key):
+    """poly_ls refits must vmap over hypothesized ratings (the lookahead
+    fan-out pattern) and agree with the per-lane plain fits."""
+    real, prob = _problem(rng, n=8, m=7, mask=0.6)
+    cfg = pmf.PMFConfig(latent_d=2, max_fit_steps=120)
+    st = pmf.init_state(key, *prob.shape, cfg, prob, dtype=jnp.float64)
+    st, _ = pmf.fit(st, prob, cfg)
+    qi, qj = np.nonzero(np.asarray(prob.queryable))
+    ii, jj = jnp.asarray(qi[:5]), jnp.asarray(qj[:5])
+    vv = jnp.full((5,), 2.0, jnp.float64)
+
+    def one(i, j, v, poly):
+        prob2 = prob.add_rating(i, j, v)
+        st2, _ = pmf.fit(st, prob2, cfg, max_steps=60, poly_ls=poly)
+        return st2.U, st2.V
+
+    U_a, V_a = jax.vmap(lambda i, j, v: one(i, j, v, False))(ii, jj, vv)
+    U_b, V_b = jax.vmap(lambda i, j, v: one(i, j, v, True))(ii, jj, vv)
+    np.testing.assert_allclose(np.asarray(U_b), np.asarray(U_a),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(V_b), np.asarray(V_a),
+                               rtol=1e-10, atol=1e-12)
