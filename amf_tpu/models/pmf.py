@@ -155,18 +155,19 @@ def _delta_poly(state, problem, cfg, uv, g):
     P2 = gu @ gv.T
     mp1 = jnp.where(problem.rated, P1, 0.0)
     mp2 = jnp.where(problem.rated, P2, 0.0)
-    a1 = jnp.vdot(E, mp1)
     a2 = jnp.vdot(E, mp2)
     a11 = jnp.vdot(mp1, mp1)
     a12 = jnp.vdot(mp1, mp2)
     a22 = jnp.vdot(mp2, mp2)
     s = state.sigma_sq
-    b1 = jnp.vdot(U, gu) / state.sigma_u_sq + jnp.vdot(V, gv) / state.sigma_v_sq
     b2 = 0.5 * (
         jnp.vdot(gu, gu) / state.sigma_u_sq
         + jnp.vdot(gv, gv) / state.sigma_v_sq
     )
-    c1 = a1 / s - b1
+    # c1 = a1/s - <U,gu>/su - <V,gv>/sv algebraically, but that difference of
+    # large reductions IS the squared gradient norm (catastrophic cancellation
+    # near convergence) — use the exact identity instead.
+    c1 = jnp.vdot(gu, gu) + jnp.vdot(gv, gv)
     c2 = -(a11 - 2.0 * a2) / (2.0 * s) - b2
     c3 = -a12 / s
     c4 = -a22 / (2.0 * s)
@@ -343,6 +344,10 @@ def fit_lookahead_batch(
     # DMA; ops.pallas_kernels.pmf_batched_value_grad_t) — the fast TPU path
     fused: bool = False,  # whole line search inside ONE pallas kernel
     # (ops.pallas_kernels.pmf_lookahead_fused_t); requires lane_block>0
+    poly_ls: bool = False,  # polynomial-in-alpha epoch loop: rejected lrs
+    # are adjudicated by the exact improvement quartic (one coefficient
+    # kernel pass per accepted step instead of a value+grad pass per
+    # proposal; ops.pallas_kernels.pmf_line_coeffs_t). requires lane_block>0
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Refit the MAP factors for L hypothesized (i, j, v) ratings at once.
 
@@ -409,6 +414,70 @@ def fit_lookahead_batch(
 
     lr0 = jnp.full((L,), cfg.learning_rate, jnp.float32)
     done0 = jnp.zeros((L,), bool)
+
+    if poly_ls:
+        if not lane_block:
+            raise ValueError("poly_ls requires lane_block > 0")
+        # Epoch loop: one value+grad pass + one coefficient pass per accepted
+        # step; every rejected lr is a row of the (L, T) quartic table below.
+        # Same trajectory semantics as the proposal loop (see
+        # ops.linesearch.adaptive_descent_poly for the scalar twin).
+        coeff_kernel = lambda Ut, Vt, Gut, Gvt: pk.pmf_line_coeffs_t(
+            Ut, Vt, Gut, Gvt, problem.R_obs, problem.rated,
+            delta_i, delta_j, delta_v, sigmas, block_rows=block_rows,
+            lanes_per_block=lane_block, bf16=bf16)
+        T = 64  # rungs: covers lr down to min_lr from any reachable lr
+        rung = jnp.arange(T, dtype=jnp.int32)
+        half_pow = 0.5 ** rung.astype(jnp.float32)
+
+        def pcond(c):
+            *_, done, n_it = c
+            return jnp.any(~done)
+
+        def pbody(c):
+            U, V, gu, gv, lr, f, done, n_it = c
+            c1, c2, c3, c4 = coeff_kernel(U, V, gu, gv)
+            alpha = lr[:, None] * half_pow[None, :]  # (L, T)
+            dlt = alpha * (c1[:, None] + alpha * (
+                c2[:, None] + alpha * (c3[:, None] + alpha * c4[:, None])))
+            accept = jnp.isfinite(dlt) & (dlt > 0)
+            stop_rej = ~accept & (alpha * 0.5 < cfg.min_learning_rate)
+            prev_ok = jnp.concatenate([
+                jnp.ones((alpha.shape[0], 1), bool),
+                (jnp.cumprod((~accept & ~stop_rej).astype(jnp.int32),
+                             axis=1)[:, :-1]).astype(bool),
+            ], axis=1)
+            budget = (n_it[:, None] + rung[None, :]) < max_steps
+            examined = prev_ok & budget & ~done[:, None]
+            hit = examined & accept
+            any_hit = jnp.any(hit, axis=1)
+            t_star = jnp.argmax(hit, axis=1)
+            a_star = jnp.take_along_axis(alpha, t_star[:, None], 1)[:, 0]
+            d_star = jnp.take_along_axis(dlt, t_star[:, None], 1)[:, 0]
+            consumed = jnp.where(
+                any_hit, t_star.astype(jnp.int32) + 1,
+                jnp.sum(examined.astype(jnp.int32), axis=1))
+            stepm = any_hit[:, None, None]
+            U = jnp.where(stepm, (U + a_star[:, None, None] * gu).astype(U.dtype), U)
+            V = jnp.where(stepm, (V + a_star[:, None, None] * gv).astype(V.dtype), V)
+            # refresh value+grad at the (possibly) new point; on non-accepting
+            # lanes this recomputes the same point deterministically
+            f2, gu2, gv2 = kernel(U, V)
+            lr = jnp.where(any_hit, a_star * 1.25,
+                           lr * (0.5 ** consumed.astype(jnp.float32)))
+            done = done | jnp.where(any_hit, d_star < cfg.stop_thresh, True)
+            return (U, V, gu2, gv2, lr, f2, done,
+                    (n_it + consumed).astype(jnp.int32))
+
+        U, V, _, _, _, f, _, _ = jax.lax.while_loop(
+            pcond, pbody,
+            (U0, V0, gu0, gv0, lr0, f0, done0,
+             jnp.zeros((L,), jnp.int32)),
+        )
+        if lane_block:
+            U = U.transpose(0, 2, 1).astype(jnp.float32)
+            V = V.transpose(0, 2, 1).astype(jnp.float32)
+        return U, V, f
 
     def cond(c):
         *_, done, it = c

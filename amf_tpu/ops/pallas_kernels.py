@@ -383,6 +383,197 @@ def pmf_batched_value_grad_t(
     return neg_ll, gut, gvt
 
 
+def _kernel_coeffs(
+    # scalar prefetch
+    di_ref,  # (L,) int32 delta row per lane
+    dj_ref,  # (L,) int32 delta col per lane
+    dv_ref,  # (L,) f32 delta value per lane
+    # inputs
+    r_ref,  # (bn, m) base ratings block (shared across the lane block)
+    mask_ref,  # (bn, m) base rated mask block
+    ut_ref,  # (LB, d, bn) transposed factor block
+    vt_ref,  # (LB, d, m)
+    gut_ref,  # (LB, d, bn) ascent direction (transposed)
+    gvt_ref,  # (LB, d, m)
+    # outputs
+    acc_ref,  # (LB, 8, 128) f32: per-lane reductions packed at row 0,
+    # cols 0..4 = [a1, a2, a11, a12, a22]
+    *,
+    lanes_per_block: int,
+):
+    """Data-term reductions of the line-search quartic (poly-LS kernel).
+
+    Along the ray (U + a*gu, V + a*gv) the masked squared error is an exact
+    quartic in ``a`` with coefficients built from five masked reductions of
+    E = mask*(r - pred), P1 = gu V^T + U gv^T, P2 = gu gv^T:
+    a1 = <E, P1>, a2 = <E, P2>, a11 = <mask*P1, P1>, a12 = <mask*P1, P2>,
+    a22 = <mask*P2, P2>.  One streaming pass over the same blocks as
+    ``_kernel_v2`` (4 MXU contractions per lane vs its 3); the rest of the
+    coefficient assembly (regularizer terms, sigma scaling) is cheap host-jit
+    math in ``pmf_line_coeffs_t``.
+    """
+    rblk = pl.program_id(1)
+    bn = r_ref.shape[0]
+    m = r_ref.shape[1]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bn, m), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bn, m), 1)
+    ocol = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    orow0 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0
+
+    base_r = r_ref[...].astype(jnp.float32)
+    base_mask = mask_ref[...].astype(jnp.float32)
+
+    for l in range(lanes_per_block):  # unrolled over the lane block
+        lane = pl.program_id(0) * lanes_per_block + l
+        ut = ut_ref[l]  # (d, bn)
+        vt = vt_ref[l]  # (d, m)
+        gut = gut_ref[l]
+        gvt = gvt_ref[l]
+
+        dot = lambda a, b: jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bn, m) from (d, bn) x (d, m)
+        pred = dot(ut, vt)
+        p1 = dot(gut, vt) + dot(ut, gvt)
+        p2 = dot(gut, gvt)
+
+        di = di_ref[lane] - rblk * bn
+        dj = dj_ref[lane]
+        hit = (rows == di) & (cols == dj)
+        maskv = jnp.where(hit, 1.0, base_mask)
+        e = maskv * (jnp.where(hit, dv_ref[lane], base_r) - pred)
+        mp1 = maskv * p1
+        mp2 = maskv * p2
+
+        a1 = jnp.sum(e * p1)
+        a2 = jnp.sum(e * p2)
+        a11 = jnp.sum(mp1 * p1)
+        a12 = jnp.sum(mp1 * p2)
+        a22 = jnp.sum(mp2 * p2)
+        packed = jnp.where(
+            orow0 & (ocol == 0), a1,
+            jnp.where(orow0 & (ocol == 1), a2,
+                      jnp.where(orow0 & (ocol == 2), a11,
+                                jnp.where(orow0 & (ocol == 3), a12,
+                                          jnp.where(orow0 & (ocol == 4),
+                                                    a22, 0.0)))))
+
+        @pl.when(rblk == 0)
+        def _():
+            acc_ref[l] = packed
+
+        @pl.when(rblk != 0)
+        def _():
+            acc_ref[l] = acc_ref[l] + packed
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_rows", "lanes_per_block", "bf16")
+)
+def pmf_line_coeffs_t(
+    Ut: jax.Array,  # (L, d, n) TRANSPOSED factors (current accepted point)
+    Vt: jax.Array,  # (L, d, m)
+    Gut: jax.Array,  # (L, d, n) ascent direction
+    Gvt: jax.Array,  # (L, d, m)
+    R: jax.Array,  # (n, m) base observed values (shared)
+    rated: jax.Array,  # (n, m) base rated mask (shared)
+    delta_i: jax.Array,  # (L,) int32
+    delta_j: jax.Array,  # (L,) int32
+    delta_v: jax.Array,  # (L,) f32
+    sigmas: jax.Array,  # (3,) [sigma_sq, sigma_u_sq, sigma_v_sq]
+    block_rows: int = 256,
+    lanes_per_block: int = 8,
+    bf16: bool = True,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Improvement-quartic coefficients (c1..c4) per lane for poly-LS.
+
+    delta(a) = f(U, V) - f(U + a*gu, V + a*gv)
+             = c1*a + c2*a^2 + c3*a^3 + c4*a^4   (exact; see models.pmf
+    ._delta_poly for the scalar twin).  Data reductions stream through
+    ``_kernel_coeffs``; the regularizer inner products are computed here
+    directly (small (L, d, rows) arrays)."""
+    L, d, n = Ut.shape
+    m = Vt.shape[2]
+    bn = min(block_rows, _round_up(n, 8))
+    n_pad = _round_up(n, bn)
+    LB = lanes_per_block
+    L_pad = _round_up(L, LB)
+
+    io_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    R32 = R.astype(io_dtype)
+    mask32 = rated.astype(io_dtype)
+    if n_pad != n:
+        R32 = jnp.pad(R32, ((0, n_pad - n), (0, 0)))
+        mask32 = jnp.pad(mask32, ((0, n_pad - n), (0, 0)))
+        padn = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n)))
+        Ut_k, Gut_k = padn(Ut), padn(Gut)
+    else:
+        Ut_k, Gut_k = Ut, Gut
+    Vt_k, Gvt_k = Vt, Gvt
+    if L_pad != L:
+        padL = lambda x: jnp.pad(x, ((0, L_pad - L),) + ((0, 0),) * (x.ndim - 1))
+        Ut_k, Vt_k = padL(Ut_k), padL(Vt_k)
+        Gut_k, Gvt_k = padL(Gut_k), padL(Gvt_k)
+        delta_i, delta_j, delta_v = padL(delta_i), padL(delta_j), padL(delta_v)
+
+    grid = (L_pad // LB, n_pad // bn)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bn, m), lambda lb, r, *_: (r, 0)),
+            pl.BlockSpec((bn, m), lambda lb, r, *_: (r, 0)),
+            pl.BlockSpec((LB, d, bn), lambda lb, r, *_: (lb, 0, r)),
+            pl.BlockSpec((LB, d, m), lambda lb, r, *_: (lb, 0, 0)),
+            pl.BlockSpec((LB, d, bn), lambda lb, r, *_: (lb, 0, r)),
+            pl.BlockSpec((LB, d, m), lambda lb, r, *_: (lb, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((LB, 8, 128), lambda lb, r, *_: (lb, 0, 0)),
+        ],
+    )
+    acc = pl.pallas_call(
+        functools.partial(_kernel_coeffs, lanes_per_block=LB),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((L_pad, 8, 128), jnp.float32)],
+    )(
+        delta_i.astype(jnp.int32),
+        delta_j.astype(jnp.int32),
+        delta_v.astype(jnp.float32),
+        R32,
+        mask32,
+        Ut_k.astype(io_dtype),
+        Vt_k.astype(io_dtype),
+        Gut_k.astype(io_dtype),
+        Gvt_k.astype(io_dtype),
+    )[0]
+
+    a2 = acc[:L, 0, 1]
+    a11 = acc[:L, 0, 2]
+    a12 = acc[:L, 0, 3]
+    a22 = acc[:L, 0, 4]
+
+    Gut32 = Gut[:, :, :n].astype(jnp.float32)
+    Gvt32 = Gvt.astype(jnp.float32)
+    s, su, sv = sigmas[0], sigmas[1], sigmas[2]
+    b2 = 0.5 * (jnp.sum(Gut32 * Gut32, axis=(1, 2)) / su
+                + jnp.sum(Gvt32 * Gvt32, axis=(1, 2)) / sv)
+    # c1 = a1/s - (<U,gu>/su + <V,gv>/sv) algebraically — but that is a
+    # catastrophic cancellation of two large reductions (the difference is
+    # the squared gradient norm, ~0 near convergence; in bf16 the noise
+    # drove spurious accept/converge flips and 5x extra epochs).  The
+    # directional derivative of f along its own ascent gradient is exactly
+    # -|g|^2, so compute c1 from the f32 gradients directly.
+    c1 = (jnp.sum(Gut32 * Gut32, axis=(1, 2))
+          + jnp.sum(Gvt32 * Gvt32, axis=(1, 2)))
+    c2 = -(a11 - 2.0 * a2) / (2.0 * s) - b2
+    c3 = -a12 / s
+    c4 = -a22 / (2.0 * s)
+    return c1, c2, c3, c4
+
+
 def _kernel_fused(
     # scalar prefetch
     di_ref,  # (L,) int32 delta row per lane

@@ -221,3 +221,87 @@ def test_fit_lookahead_batch_lane_block_matches_plain(rng, monkeypatch):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(V_b), np.asarray(V_a), rtol=1e-3,
                                atol=1e-5)
+
+
+def test_line_coeffs_kernel_matches_scalar(rng, monkeypatch):
+    """pmf_line_coeffs_t == the scalar quartic pmf._delta_poly per lane
+    (including lane padding L=3 with LB=2 and row padding n=13, bn=8)."""
+    from amf_tpu import types
+    from amf_tpu.models import pmf
+
+    _interp(monkeypatch)
+    n, m, d = 13, 9, 3
+    R = jnp.asarray(rng.integers(1, 6, size=(n, m)), jnp.float32)
+    rated = jnp.asarray(rng.random((n, m)) < 0.5)
+    prob = types.Problem(
+        R_obs=jnp.where(rated, R, 0.0), rated=rated,
+        queryable=~rated, test=rated,
+    )
+    cfg = pmf.PMFConfig(latent_d=d)
+    st = pmf.init_state(jax.random.PRNGKey(0), n, m, cfg, prob,
+                        dtype=jnp.float32)
+    st, _ = pmf.fit(st, prob, cfg)
+    di = jnp.asarray([0, 5, 12], jnp.int32)
+    dj = jnp.asarray([1, 8, 0], jnp.int32)
+    dv = jnp.asarray([3.0, 1.0, 5.0], jnp.float32)
+    sigmas = jnp.stack([st.sigma_sq, st.sigma_u_sq, st.sigma_v_sq])
+
+    L = 3
+    U = jnp.broadcast_to(st.U[None], (L, n, d)).astype(jnp.float32)
+    V = jnp.broadcast_to(st.V[None], (L, m, d)).astype(jnp.float32)
+    _, gu, gv = pk.pmf_batched_value_grad_reference(
+        U, V, prob.R_obs, prob.rated, di, dj, dv, sigmas)
+
+    fn = pk.pmf_line_coeffs_t.__wrapped__
+    c1, c2, c3, c4 = fn(
+        U.transpose(0, 2, 1), V.transpose(0, 2, 1),
+        gu.transpose(0, 2, 1), gv.transpose(0, 2, 1),
+        prob.R_obs, prob.rated, di, dj, dv, sigmas,
+        block_rows=8, lanes_per_block=2, bf16=False,
+    )
+
+    for l in range(L):
+        prob2 = prob.add_rating(int(di[l]), int(dj[l]), float(dv[l]))
+        w1, w2, w3, w4 = pmf._delta_poly(
+            st, prob2, cfg, (U[l], V[l]), (gu[l], gv[l]))
+        np.testing.assert_allclose(float(c1[l]), float(w1), rtol=1e-4)
+        np.testing.assert_allclose(float(c2[l]), float(w2), rtol=1e-4)
+        np.testing.assert_allclose(float(c3[l]), float(w3), rtol=1e-4,
+                                   atol=1e-6)
+        np.testing.assert_allclose(float(c4[l]), float(w4), rtol=1e-4,
+                                   atol=1e-6)
+
+
+def test_fit_lookahead_batch_poly_matches_plain(rng, monkeypatch):
+    """The poly-LS epoch loop reproduces the proposal-loop refit
+    (f32 scoring-grade: same accepted points up to quartic-vs-subtraction
+    rounding on this small, well-separated problem)."""
+    from amf_tpu import types
+    from amf_tpu.models import pmf
+
+    _interp(monkeypatch)
+    n, m, d = 13, 9, 3
+    R = jnp.asarray(rng.integers(1, 6, size=(n, m)), jnp.float32)
+    rated = jnp.asarray(rng.random((n, m)) < 0.5)
+    prob = types.Problem(
+        R_obs=jnp.where(rated, R, 0.0), rated=rated,
+        queryable=~rated, test=rated,
+    )
+    cfg = pmf.PMFConfig(latent_d=d)
+    st = pmf.init_state(jax.random.PRNGKey(0), n, m, cfg, prob,
+                        dtype=jnp.float32)
+    st, _ = pmf.fit(st, prob, cfg)
+    di = jnp.asarray([0, 5, 12], jnp.int32)
+    dj = jnp.asarray([1, 8, 0], jnp.int32)
+    dv = jnp.asarray([3.0, 1.0, 5.0], jnp.float32)
+
+    U_a, V_a, f_a = pmf.fit_lookahead_batch(
+        st, prob, di, dj, dv, cfg, max_steps=25, use_pallas=False)
+    U_b, V_b, f_b = pmf.fit_lookahead_batch(
+        st, prob, di, dj, dv, cfg, max_steps=25, lane_block=2, bf16=False,
+        block_rows=8, poly_ls=True)
+    np.testing.assert_allclose(np.asarray(f_b), np.asarray(f_a), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(U_b), np.asarray(U_a), rtol=1e-2,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(V_b), np.asarray(V_a), rtol=1e-2,
+                               atol=1e-3)
