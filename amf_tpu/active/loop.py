@@ -40,6 +40,7 @@ def run_active_pmf(
     pcfg: Optional[pmf.PMFConfig] = None,
     lookahead_budget: int = 300,
     lookahead_tile: int = 0,
+    lookahead_host_tiles: bool = False,
     mesh=None,  # jax.sharding.Mesh: shard lookahead candidates over devices
     dtype=jnp.float64,
     verbose: bool = False,
@@ -183,6 +184,48 @@ def run_active_pmf(
 
                     run = sharded_candidate_scores(score_flat, n * m, mesh)
                     return run(k).reshape(prob.shape)
+
+            elif lookahead_host_tiles and lookahead_tile:
+                # One bounded device program PER TILE, dispatched from the
+                # host (same rationale as gibbs_loop.py's host-tiled
+                # exp-variance): the fused whole-sweep program spans every
+                # candidate x integration-node lane x two budgeted refits
+                # (each KL step an eigh) and runs for minutes on-device,
+                # which the shared-tunnel TPU worker does not survive
+                # (UNAVAILABLE fault). candidate_tile alone doesn't help —
+                # lax.map tiles *inside* one program. Lane PRNG streams are
+                # candidate-index derived (utils.rng.lane_keys), so tiles
+                # match the fused path lane-for-lane.
+                tile = int(lookahead_tile)
+                lcfg_tile = lcfg._replace(candidate_tile=0)
+
+                @jax.jit
+                def tile_scores(pst, ast, prob, k, cand, _crit=crit):
+                    return lookahead_mod.lookahead_scores(
+                        _crit, pst, ast, prob, k, pcfg, adapter, lcfg_tile,
+                        cand=cand,
+                    )
+
+                def fn(pst, ast, prob, k, _crit=crit, _tile_scores=tile_scores):
+                    queryable = np.asarray(prob.queryable).ravel()
+                    cand_all = np.flatnonzero(queryable).astype(np.int32)
+                    out = np.full(n * m, np.nan)
+                    pad = (-len(cand_all)) % tile
+                    cand_pad = np.concatenate(
+                        [cand_all, np.zeros(pad, np.int32)]
+                    )
+                    n_tiles = len(cand_pad) // tile
+                    for t in range(n_tiles):
+                        chunk = cand_pad[t * tile:(t + 1) * tile]
+                        s = np.asarray(
+                            _tile_scores(pst, ast, prob, k, jnp.asarray(chunk))
+                        )
+                        take = tile if t < n_tiles - 1 else tile - pad
+                        out[chunk[:take]] = s[:take]
+                        if verbose and (t % 16 == 0 or t == n_tiles - 1):
+                            print(f"    lookahead tile {t + 1}/{n_tiles}",
+                                  flush=True)
+                    return jnp.asarray(out, dtype).reshape(prob.shape)
 
             else:
 

@@ -79,6 +79,12 @@ def build_parser():
                          help="shard lookahead candidates over an N-device mesh")
     running.add_argument("--lookahead-tile", type=int, default=0,
                          help="candidates per vmapped pass (memory bound)")
+    running.add_argument("--lookahead-host-tiles", action="store_true",
+                         default=False,
+                         help="dispatch one bounded device program per "
+                         "lookahead tile from the host instead of one fused "
+                         "sweep (keeps long refit fan-outs under the TPU "
+                         "worker's program-duration limit)")
     running.add_argument("--float32", action="store_true",
                          help="run in float32 (TPU-native dtype)")
     add_bool_opt(running, "verbose", default=True)
@@ -249,6 +255,7 @@ def main(argv=None):
         model=args.model,
         lookahead_budget=args.lookahead_budget,
         lookahead_tile=args.lookahead_tile,
+        lookahead_host_tiles=args.lookahead_host_tiles,
         mesh=mesh,
         dtype=jnp.float32 if args.float32 else jnp.float64,
         verbose=args.verbose,

@@ -131,3 +131,28 @@ def test_lookahead_scores_match_manual_expectation(small_problem):
         evals.append(float(vnormal.approx_pred_means_vars(ast2, prob2, vcfg)[1].sum()))
     want = float((np.array(evals) * w).sum())
     assert float(score[0]) == pytest.approx(want, rel=1e-6)
+
+
+def test_host_tiled_lookahead_matches_fused(small_problem):
+    """Host-dispatched per-tile programs must match the fused sweep
+    lane-for-lane (lane PRNG streams are candidate-index derived)."""
+    real, prob, vals = small_problem
+    common = dict(
+        latent_d=2, rating_values=vals, discrete_exp=True,
+        refit_lookahead=True, steps=3, seed=0, lookahead_budget=60,
+    )
+    fused = loop.run_active_pmf(prob, real, ["total-variance"], **common)
+    tiled = loop.run_active_pmf(
+        prob, real, ["total-variance"], lookahead_tile=5,
+        lookahead_host_tiles=True, **common,
+    )
+    for rf, rt in zip(fused["total-variance"], tiled["total-variance"]):
+        assert rf[0] == rt[0]
+        assert rf[2] == rt[2]
+        np.testing.assert_allclose(rf[1], rt[1], rtol=0, atol=1e-9)
+        if rf[3] is not None:
+            mf = np.isfinite(np.asarray(rf[3], float))
+            assert np.array_equal(mf, np.isfinite(np.asarray(rt[3], float)))
+            np.testing.assert_allclose(
+                np.asarray(rf[3], float)[mf], np.asarray(rt[3], float)[mf],
+                rtol=0, atol=1e-9)
