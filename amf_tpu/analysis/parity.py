@@ -51,6 +51,58 @@ from amf_tpu.analysis.results import (
 _RMSE_UNINFORMATIVE = ("random", "pred")
 
 
+def _ge_cutoff(short: str) -> Optional[float]:
+    """Cutoff of a discovery (active-search) criterion, else None.
+
+    prob-ge-X / 1step-ge-X / rc's ge-X deliberately query cells likely to
+    BE >= cutoff (Garnett-style active search), not cells that reduce test
+    error — the reference evaluates them on count-≥-cutoff discovery
+    curves (plot_results.py:200-213), and its papers show them losing to
+    random on RMSE by design. They get the discovery band, not the RMSE
+    bands."""
+    for pre in ("prob-ge-", "1step-ge-", "ge-"):
+        if short.startswith(pre):
+            try:
+                return float(short[len(pre):])
+            except ValueError:
+                return None
+    if short.endswith("-margin-pos"):
+        # MMMF positive-margin selectors query among predicted-positive
+        # cells only (select_min_margin_pos.m) — a discovery restriction;
+        # results are ±1-binarized, so positives are values >= 0
+        return 0.0
+    return None
+
+
+# MMMF's max-margin selector queries the MOST certain cell — the
+# reference's deliberately-anti-informative comparison arm (its papers
+# show it losing to random by design). Not an RMSE acceptance target.
+_RMSE_CONTROL = ("max-margin",)
+
+
+def _pick_vals(recs, real: np.ndarray) -> List[Optional[float]]:
+    """True rating of each queried cell (None for the initial record)."""
+    out: List[Optional[float]] = []
+    for r in recs:
+        ij = r[2]
+        if ij is None:
+            out.append(None)
+        else:
+            v = float(real[int(ij[0]), int(ij[1])])
+            out.append(v if np.isfinite(v) else None)
+    return out
+
+
+def _discovery_auc(ns, pick_vals, cutoff: float) -> float:
+    """Area under the cumulative count-≥-cutoff curve (higher = better)."""
+    c, counts = 0, []
+    for v in pick_vals:
+        if v is not None and v >= cutoff:
+            c += 1
+        counts.append(c)
+    return float(metrics.area_under_curve(ns, np.asarray(counts, float)))
+
+
 def _strip_prefix(key: str) -> str:
     for pre in ("mnpmf_", "mmmf_", "bayes_", "stan_", "rc_", "apmf_"):
         if key.startswith(pre):
@@ -101,6 +153,9 @@ def digest(results: Dict, kind: Optional[str] = None) -> Dict:
             "n_rated": [int(x) for x in ns],
             "err": [float(x) for x in errs],
             "picks": picks,
+            # true rating of each pick: lets any cutoff's discovery curve
+            # be recomputed from the digest alone (seed aggregation)
+            "pick_vals": _pick_vals(recs, np.asarray(results["_real"], float)),
             "auc": float(metrics.area_under_curve(ns, errs)),
             "first_step_evals": (
                 None if fse is None
@@ -125,12 +180,14 @@ def check_results(results: Dict, kind: Optional[str] = None,
     kind = kind or guess_kind(results)
     rows: List[Dict] = []
     curves: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+    recs_by_short: Dict[str, list] = {}
     for key, recs in results.items():
         if key.startswith("_") or not isinstance(recs, list):
             continue
         short = _strip_prefix(key)
         ns, errs = rmse_curve(recs)
         curves[short] = (ns, errs)
+        recs_by_short[short] = recs
         shape = np.asarray(results["_real"]).shape
 
         ok = (
@@ -150,8 +207,10 @@ def check_results(results: Dict, kind: Optional[str] = None,
         })
 
     for short, (ns, errs) in curves.items():
-        if short in _RMSE_UNINFORMATIVE or len(errs) <= 2:
+        if short in _RMSE_UNINFORMATIVE or short in _RMSE_CONTROL:
             continue
+        if len(errs) <= 2 or _ge_cutoff(short) is not None:
+            continue  # discovery criteria get the discovery band below
         improved = errs[-1] <= errs[0] * (1 + improve_slack)
         worsened = errs[-1] > errs[0] * (1 + improve_slack)
         tracks_random = "random" in curves and (
@@ -183,7 +242,9 @@ def check_results(results: Dict, kind: Optional[str] = None,
         ns_r, err_r = curves["random"]
         auc_r = metrics.area_under_curve(ns_r, err_r)
         for short, (ns, errs) in curves.items():
-            if short in _RMSE_UNINFORMATIVE or len(errs) < 3:
+            if short in _RMSE_UNINFORMATIVE or short in _RMSE_CONTROL:
+                continue
+            if len(errs) < 3 or _ge_cutoff(short) is not None:
                 continue
             auc = metrics.area_under_curve(ns, errs)
             if auc <= auc_r:
@@ -198,6 +259,34 @@ def check_results(results: Dict, kind: Optional[str] = None,
                 "check": "active_vs_random", "key": short,
                 "status": status,
                 "detail": f"auc {auc:.4f} vs random {auc_r:.4f} ({note})",
+            })
+
+        # discovery band: ge-criteria query cells likely >= cutoff; the
+        # acceptance axis is the cumulative count of true-positives found
+        # (reference: count_ge_cutoff curves, plot_results.py:200-213)
+        real = np.asarray(results["_real"], float)
+        rand_vals = _pick_vals(recs_by_short["random"], real)
+        ns_rand = [r[0] for r in recs_by_short["random"]]
+        for short, recs in recs_by_short.items():
+            cutoff = _ge_cutoff(short)
+            if cutoff is None or len(recs) < 3:
+                continue
+            ns_k = [r[0] for r in recs]
+            auc = _discovery_auc(ns_k, _pick_vals(recs, real), cutoff)
+            auc_r = _discovery_auc(ns_rand, rand_vals, cutoff)
+            if auc >= auc_r:
+                status, note = "pass", "finds >= random"
+            elif auc >= auc_r * (1 - random_slack):
+                status = "warn" if strict_active else "pass"
+                note = "finds fewer than random, within slack"
+            else:
+                status = "fail" if strict_active else "warn"
+                note = "finds fewer than random beyond slack"
+            rows.append({
+                "check": "discovery_vs_random", "key": short,
+                "status": status,
+                "detail": f"count>={cutoff:g} auc {auc:.1f} vs random "
+                          f"{auc_r:.1f} ({note})",
             })
     return rows
 
@@ -249,16 +338,51 @@ def aggregate_seed_checks(
     the per-seed AUC ratio vs that SAME seed's random arm, aggregated as
     mean +/- spread across seeds."""
     per: Dict[Tuple[str, str], List[Tuple[float, Optional[float]]]] = {}
+    disc: Dict[Tuple[str, str], List[Tuple[float, float]]] = {}
     for d in seed_dirs:
         for dpath in sorted(glob.glob(os.path.join(d, "digest_*.json.gz"))):
             with gzip.open(dpath, "rt") as f:
                 dg = json.load(f)
             stem = os.path.basename(dpath)[len("digest_"):-len(".json.gz")]
             crits = dg.get("criteria", {})
-            rand_auc = (crits.get("random") or {}).get("auc")
+            rand = crits.get("random") or {}
+            rand_auc = rand.get("auc")
             for key, c in crits.items():
+                cutoff = _ge_cutoff(key)
+                if cutoff is not None:
+                    # discovery keys aggregate on count-≥-cutoff AUC
+                    if c.get("pick_vals") and rand.get("pick_vals"):
+                        disc.setdefault((stem, key), []).append((
+                            _discovery_auc(c["n_rated"], c["pick_vals"],
+                                           cutoff),
+                            _discovery_auc(rand["n_rated"],
+                                           rand["pick_vals"], cutoff),
+                        ))
+                    continue
+                if key in _RMSE_CONTROL:
+                    continue
                 per.setdefault((stem, key), []).append((c["auc"], rand_auc))
     rows: List[Dict] = []
+    for (stem, key), entries in sorted(disc.items()):
+        ratios = [a / r for a, r in entries if r]
+        if len(ratios) < 2:
+            continue
+        mean, spread = float(np.mean(ratios)), float(np.std(ratios))
+        if mean >= 1.0:
+            status, note = "pass", "finds >= random on seed mean"
+        elif mean >= 1.0 - random_slack:
+            status = "warn" if strict_active else "pass"
+            note = "finds fewer than random on seed mean, within slack"
+        else:
+            status = "fail" if strict_active else "warn"
+            note = "finds fewer than random on seed mean beyond slack"
+        rows.append({
+            "check": "seed_discovery_vs_random",
+            "key": f"{stem}:{key}",
+            "status": status,
+            "detail": f"discovery auc/random over {len(ratios)} seeds: "
+                      f"{mean:.4f} +/- {spread:.4f} ({note})",
+        })
     for (stem, key), entries in sorted(per.items()):
         if key in _RMSE_UNINFORMATIVE:
             continue
