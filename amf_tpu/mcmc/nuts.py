@@ -14,8 +14,12 @@ Algorithm: multinomial NUTS (Betancourt 2017) with
     static memory (max_depth+1 slots) and no host recursion);
   * streaming multinomial candidate selection (progressive logsumexp);
   * Stan-style divergence threshold (delta energy > 1000);
-  * dual-averaging step-size adaptation (target accept 0.8) and diagonal
-    mass-matrix (Welford) adaptation during warmup.
+  * warmup adaptation targeting MIXING: per-window ESJD grid search for
+    the step size around a reasonable-eps anchor (robust to the
+    non-monotone accept-vs-eps curves of funnel posteriors, where
+    accept-targeting dual averaging freezes the chain; see run_nuts), and
+    windowed diagonal mass-matrix (Welford) estimation with a
+    degenerate-variance gate.
 
 Everything is shape-static and differentiation-free, so chains can be
 vmapped and sharded over a device mesh.
@@ -33,11 +37,6 @@ import numpy as np
 class NUTSConfig(NamedTuple):
     max_depth: int = 10
     max_delta_energy: float = 1000.0
-    target_accept: float = 0.8
-    # dual averaging constants (Hoffman & Gelman 2014, Stan defaults)
-    da_gamma: float = 0.05
-    da_t0: float = 10.0
-    da_kappa: float = 0.75
 
 
 class _End(NamedTuple):
@@ -304,29 +303,44 @@ def find_reasonable_step_size(
     return eps
 
 
-class _DAState(NamedTuple):
-    log_eps: jax.Array
-    log_eps_avg: jax.Array
-    h_avg: jax.Array
-    mu: jax.Array
-    t: jax.Array
-
-
-def _da_init(eps0):
-    return _DAState(
-        jnp.log(eps0), jnp.log(eps0), jnp.zeros_like(eps0),
-        jnp.log(10.0 * eps0), jnp.zeros_like(eps0),
-    )
-
-
-def _da_update(state: _DAState, accept_prob, cfg: NUTSConfig) -> _DAState:
-    t = state.t + 1
-    eta_h = 1.0 / (t + cfg.da_t0)
-    h_avg = (1 - eta_h) * state.h_avg + eta_h * (cfg.target_accept - accept_prob)
-    log_eps = state.mu - jnp.sqrt(t) / cfg.da_gamma * h_avg
-    eta = t ** (-cfg.da_kappa)
-    log_eps_avg = eta * log_eps + (1 - eta) * state.log_eps_avg
-    return _DAState(log_eps, log_eps_avg, h_avg, state.mu, t)
+def _warmup_schedule(warmup: int, adapt_mass: bool):
+    """Stan's three-phase warmup schedule (stan::mcmc::windowed_adaptation):
+    an eps-only initial buffer, expanding mass-estimation windows (base 25,
+    doubling, last window absorbs the remainder), and an eps-only terminal
+    buffer. Returns (is_accum, is_switch) per-iteration host flags; a switch
+    iteration applies the window's Welford variance as the new diagonal
+    inverse mass, RESETS the accumulator, and re-initializes dual averaging
+    from a fresh reasonable-step-size search under the new metric."""
+    w = max(warmup, 1)
+    is_accum = np.zeros(w, bool)
+    is_switch = np.zeros(w, bool)
+    is_refine = np.zeros(w, bool)
+    if warmup >= 5:
+        is_refine[w - 1] = True  # terminal eps refinement
+    if not adapt_mass or warmup < 20:
+        return is_accum, is_switch, is_refine
+    init_buf, term_buf, base = 75, 50, 25
+    if warmup < init_buf + term_buf + base:
+        init_buf = int(0.15 * warmup)
+        term_buf = int(0.10 * warmup)
+        base = warmup - init_buf - term_buf
+    # expanding windows over [init_buf, warmup - term_buf)
+    ends = []
+    start, size = init_buf, base
+    while True:
+        end = start + size
+        # absorb the remainder if the NEXT window wouldn't fit
+        if end + 2 * size > warmup - term_buf:
+            end = warmup - term_buf
+            ends.append(end)
+            break
+        ends.append(end)
+        start, size = end, 2 * size
+    is_accum[init_buf:ends[-1]] = True
+    for e in ends:
+        is_switch[e - 1] = True  # applied after that iteration's draw
+        is_refine[e - 1] = True
+    return is_accum, is_switch, is_refine
 
 
 def run_nuts(
@@ -338,14 +352,19 @@ def run_nuts(
     cfg: NUTSConfig = NUTSConfig(),
     adapt_mass: bool = True,
     init_eps: float = 1.0,
+    return_adaptation: bool = False,
 ) -> Tuple[jax.Array, NUTSInfo]:
     """Warmup (step-size + diagonal mass adaptation) then sampling.
 
     Returns (samples (num_samples, dim), info with per-sample stats).
-    Windows: eps-only until 15% of warmup; Welford mass accumulation from
-    15%..90% (mass applied + dual averaging reset at 90%); eps-only to the
-    end — a simplified Stan warmup schedule.
-    """
+    Warmup follows Stan's windowed schedule (_warmup_schedule): each
+    expanding window re-estimates the diagonal inverse mass from that
+    window's position variance, resets the Welford accumulator, and
+    re-initializes the step size by a reasonable-eps search under the new
+    metric — the single-window variant froze chains at scale (a mass
+    estimated from a still-traveling chain shrinks velocities by orders of
+    magnitude and a short post-switch buffer cannot rescale eps; see
+    BENCHMARKS.md round-3 NUTS-mixing note)."""
     dim = q0.shape[0]
     dtype = q0.dtype
     inv_mass0 = jnp.ones(dim, dtype)
@@ -353,22 +372,42 @@ def run_nuts(
     kf, key = jax.random.split(key)
     eps0 = find_reasonable_step_size(kf, q0, logprob_fn, inv_mass0, init_eps)
 
-    mass_start = max(int(np.floor(warmup * 0.15)), 1)
-    mass_end = max(int(np.floor(warmup * 0.9)), mass_start + 1)
-    is_accum = np.zeros(max(warmup, 1), bool)
-    is_accum[mass_start:mass_end] = True
-    is_switch = np.zeros(max(warmup, 1), bool)
-    if adapt_mass and warmup > mass_end:
-        is_switch[mass_end] = True
+    is_accum, is_switch, is_refine = _warmup_schedule(warmup, adapt_mass)
+
+    # --- step-size adaptation: ESJD grid around the reasonable-eps anchor.
+    # Accept-targeting dual averaging is the textbook controller, but on
+    # funnel-shaped posteriors (the BPMF hierarchy at MovieLens scale) the
+    # accept-vs-eps relation is NOT monotone: mid-range eps builds
+    # max-depth trajectories that travel into the high-curvature neck and
+    # reject, while tiny eps freezes the chain in place where local accept
+    # ~1. Measured on the 58k-15d workload, unconstrained dual averaging
+    # crashed eps 0.06 -> 4e-5 in five panic steps and equilibrated in the
+    # frozen basin (predictive-variance maps collapsed to MC noise ~1e-7);
+    # clamped variants pinned at the clamp floor. The controller here
+    # instead optimizes what warmup is actually for — mixing: warmup
+    # iterations round-robin over a multiplier grid around the anchor,
+    # accumulate per-arm expected squared jump distance, and each window
+    # re-centers the anchor on the argmax arm (then re-runs the
+    # reasonable-eps search whenever the metric changes). Sampling uses
+    # the final anchor with per-draw jitter (0.7-1.3x, standard HMC
+    # practice) to decorrelate trajectory lengths. On well-conditioned
+    # posteriors the ESJD argmax sits in the same region dual averaging
+    # finds (test_nuts posterior-moment oracles); on the funnel it finds
+    # the mixing basin dual averaging destroys.
+    mults = jnp.asarray([0.25, 0.5, 1.0, 2.0, 4.0], dtype)
+    n_arms = 5
 
     def warm_step(carry, xs):
-        accum, switch = xs
-        q, da, inv_mass, w_n, w_mean, w_m2, key = carry
-        key, kstep = jax.random.split(key)
-        q, info = nuts_kernel(
-            kstep, q, logprob_fn, jnp.exp(da.log_eps), inv_mass, cfg
-        )
-        da = _da_update(da, info.accept_prob, cfg)
+        accum, switch, refine, t = xs
+        q, anchor, inv_mass, esjd, arm_n, w_n, w_mean, w_m2, key = carry
+        key, kstep, kfind = jax.random.split(key, 3)
+        arm = t % n_arms
+        eps_t = anchor * mults[arm]
+        q_new, info = nuts_kernel(kstep, q, logprob_fn, eps_t, inv_mass, cfg)
+        jump = jnp.sum((q_new - q) ** 2)
+        esjd = esjd.at[arm].add(jump)
+        arm_n = arm_n.at[arm].add(1.0)
+        q = q_new
 
         # Welford accumulation of position variance
         w_n2 = w_n + accum
@@ -377,37 +416,71 @@ def run_nuts(
         w_m2 = w_m2 + jnp.where(accum, delta * (q - w_mean), 0.0)
         w_n = w_n2
 
-        # switch in the adapted mass and reset dual averaging
+        # mass window end: switch in the window's variance as the diagonal
+        # inverse mass — gated: if the measured variance is degenerate
+        # (chain barely traversed, regularization floor dominates), keep
+        # the previous metric; switching would shrink velocities by orders
+        # of magnitude and freeze the chain (58k funnel pathology)
         var = w_m2 / jnp.maximum(w_n - 1, 1)
-        # Stan-style regularization toward unit
         reg = (w_n / (w_n + 5.0)) * var + (5.0 / (w_n + 5.0)) * 1e-3
-        new_inv_mass = jnp.where(switch & (w_n > 1), reg, inv_mass)
-        new_da = jax.tree.map(
-            lambda a, b: jnp.where(switch, a, b),
-            _da_init(jnp.exp(da.log_eps_avg)),
-            da,
+        traversed = jnp.median(var) > 1e-3
+        mass_changed = switch & (w_n > 1) & traversed
+        new_inv_mass = jnp.where(mass_changed, reg, inv_mass)
+
+        # eps refinement: re-center the anchor on the best-mixing arm
+        best = jnp.argmax(
+            jnp.where(arm_n > 0, esjd / jnp.maximum(arm_n, 1), -jnp.inf)
         )
-        return (q, new_da, new_inv_mass, w_n, w_mean, w_m2, key), None
+        moved = jnp.any(esjd > 0)
+        refined = jnp.where(moved, anchor * mults[best], anchor)
+
+        def with_new_mass(_):
+            # metric changed: eps scale is stale; re-run the doubling
+            # search under the new metric starting from the refined value
+            return find_reasonable_step_size(
+                kfind, q, logprob_fn, new_inv_mass, refined
+            )
+
+        new_anchor = jax.lax.cond(
+            mass_changed,
+            with_new_mass,
+            lambda _: jnp.where(refine, refined, anchor),
+            operand=None,
+        )
+        esjd = jnp.where(refine, jnp.zeros_like(esjd), esjd)
+        arm_n = jnp.where(refine, jnp.zeros_like(arm_n), arm_n)
+        w_n = jnp.where(switch, 0.0, w_n)
+        w_mean = jnp.where(switch, 0.0, w_mean)
+        w_m2 = jnp.where(switch, 0.0, w_m2)
+        return (q, new_anchor, new_inv_mass, esjd, arm_n, w_n, w_mean, w_m2,
+                key), None
 
     carry = (
-        q0, _da_init(eps0), inv_mass0,
+        q0, eps0, inv_mass0,
+        jnp.zeros(n_arms, dtype), jnp.zeros(n_arms, dtype),
         jnp.zeros((), dtype), jnp.zeros(dim, dtype), jnp.zeros(dim, dtype),
         key,
     )
     if warmup > 0:
         carry, _ = jax.lax.scan(
-            warm_step, carry, (jnp.asarray(is_accum), jnp.asarray(is_switch))
+            warm_step, carry,
+            (jnp.asarray(is_accum), jnp.asarray(is_switch),
+             jnp.asarray(is_refine), jnp.arange(max(warmup, 1))),
         )
-    q, da, inv_mass, *_, key = carry
-    eps = jnp.exp(da.log_eps_avg)
+    q, eps_anchor, inv_mass, *_, key = carry
 
     def sample_step(carry, _):
         q, key = carry
-        key, kstep = jax.random.split(key)
+        key, kstep, kjit = jax.random.split(key, 3)
+        eps = eps_anchor * jax.random.uniform(
+            kjit, dtype=dtype, minval=0.7, maxval=1.3
+        )
         q, info = nuts_kernel(kstep, q, logprob_fn, eps, inv_mass, cfg)
         return (q, key), (q, info)
 
     (_, _), (samples, infos) = jax.lax.scan(
         sample_step, (q, key), None, length=num_samples
     )
+    if return_adaptation:
+        return samples, infos, {"eps": eps_anchor, "inv_mass": inv_mass}
     return samples, infos

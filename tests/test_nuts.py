@@ -118,3 +118,30 @@ def test_sampler_diagnostics_on_nuts_chains(key):
     # a random walk has tiny ESS relative to its length
     rw = np.cumsum(np.asarray(jax.random.normal(key, (2, 400))), axis=1)
     assert metrics.ess(rw) < 100
+
+
+def test_funnel_chain_keeps_moving(key):
+    """Regression guard for the frozen-chain pathology fixed in round 3
+    (BENCHMARKS.md "NUTS mixing at MovieLens scale"): on funnel-shaped
+    targets the accept-vs-eps curve is non-monotone and accept-targeting
+    dual averaging drove eps to ~4e-5, freezing the chain in place; the
+    ESJD-grid warmup must keep the chain traveling. Assert actual
+    movement, not just acceptance: mean squared jump per transition and
+    across-draw spread in both the neck and base coordinates."""
+    def logp(q):
+        # Neal's funnel (d=8): v ~ N(0, 3^2); x_i | v ~ N(0, e^v)
+        v, x = q[0], q[1:]
+        return (
+            -0.5 * (v / 3.0) ** 2
+            - 0.5 * jnp.sum(x**2) * jnp.exp(-v)
+            - 0.5 * (q.shape[0] - 1) * v
+        )
+
+    samples, info = nuts.run_nuts(
+        key, jnp.zeros(8), logp, num_samples=600, warmup=400
+    )
+    s = np.asarray(samples)
+    jumps = np.sum(np.diff(s, axis=0) ** 2, axis=1)
+    assert jumps.mean() > 0.5, jumps.mean()   # frozen chains gave ~1e-4
+    assert s[:, 0].std() > 1.0, s[:, 0].std()  # v spread (true sd = 3)
+    assert np.isfinite(s).all()
