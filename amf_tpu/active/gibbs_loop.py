@@ -91,8 +91,14 @@ def run_active_gibbs(
     verbose: bool = False,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 20,
+    binary_acc: bool = False,
 ) -> Dict[str, object]:
-    """Multi-criterion Gibbs active loop (reference: compare_active :733-825)."""
+    """Multi-criterion Gibbs active loop (reference: compare_active :733-825).
+
+    binary_acc: record binary misclassification instead of RMSE — the
+    reference's DrugBank metric (stan-bpmf/bpmf.py:53-54; its deprecated
+    bayes driver records RMSE only, so this is a deliberate extension for
+    the ±1 workloads, PARITY.md)."""
     for k in key_names:
         if k not in KEYS:
             raise ValueError(f"unknown Gibbs criterion {k!r}")
@@ -246,7 +252,11 @@ def run_active_gibbs(
             evals_for(kname, st[0], st[1], prob, k), KEYS[kname].choose_max
         ),
         refit=lambda st, prob, k: refit_and_sample(st[0], prob, k),
-        err=lambda st, prob: metrics.rmse_on(st[1].mean, real_j, prob.test),
+        err=lambda st, prob: (
+            metrics.binary_misclassification(st[1].mean, real_j, prob.test)
+            if binary_acc
+            else metrics.rmse_on(st[1].mean, real_j, prob.test)
+        ),
     )
     results.update(
         drive_active(problem, real, key_names, family, (pst0, stats0), key,

@@ -165,10 +165,37 @@ def digest(results: Dict, kind: Optional[str] = None) -> Dict:
     return out
 
 
+def load_adjudications(outdir: str) -> Dict[Tuple[str, str], str]:
+    """Committed noise-floor adjudication artifacts for an experiment dir.
+
+    Returns {(kind, criterion): artifact filename} for every criterion a
+    committed ``adjudication_*.json`` probe measured as UNRELIABLE at the
+    recorded sample budget (``reliable: false`` with split-half / seed-pair
+    Kendall-τ evidence; written by scripts/adjudicate_*.py). A map that
+    cannot reproduce its own candidate ranking across seeds cannot drive
+    learning on that workload, so strict-band failures for those criteria
+    are downgraded to evidence-pointing warns ("expected-flat", VERDICT r2
+    item 4) rather than reported as engine defects."""
+    floored: Dict[Tuple[str, str], str] = {}
+    for path in sorted(glob.glob(os.path.join(outdir, "adjudication_*.json"))):
+        try:
+            with open(path) as f:
+                art = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if art.get("reliable") is not False:
+            continue
+        for crit in art.get("criteria") or ():
+            floored[(art.get("kind"), crit)] = os.path.basename(path)
+    return floored
+
+
 def check_results(results: Dict, kind: Optional[str] = None,
                   improve_slack: float = 0.02,
                   random_slack: float = 0.10,
-                  strict_active: bool = False) -> List[Dict]:
+                  strict_active: bool = False,
+                  noise_floored: Optional[Dict[str, str]] = None
+                  ) -> List[Dict]:
     """Run bands 1-3 on one results dict; returns a list of check rows
     {check, key, status ('pass'|'warn'|'fail'), detail}.
 
@@ -176,7 +203,19 @@ def check_results(results: Dict, kind: Optional[str] = None,
     beating random, see _STRICT_ACTIVE_PREFIXES), a criterion whose error
     WORSENS over the sweep or whose AUC is worse than random beyond slack
     hard-fails instead of warning — "ran and didn't diverge" is not
-    acceptance evidence on those workloads."""
+    acceptance evidence on those workloads.
+
+    ``noise_floored`` maps criterion shorts to the adjudication artifact
+    that measured their map below the reliability floor (load_adjudications);
+    fails on those criteria downgrade to warns citing the artifact."""
+    noise_floored = noise_floored or {}
+
+    def _floor_downgrade(short, status, note):
+        if status == "fail" and short in noise_floored:
+            return "warn", (f"{note}; criterion map measured below noise "
+                            f"floor at recorded budget, expected-flat "
+                            f"({noise_floored[short]})")
+        return status, note
     kind = kind or guess_kind(results)
     rows: List[Dict] = []
     curves: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
@@ -232,6 +271,7 @@ def check_results(results: Dict, kind: Optional[str] = None,
             status = "warn"
         else:
             status, note = "fail", "err rose beyond random+slack"
+        status, note = _floor_downgrade(short, status, note)
         rows.append({
             "check": "learning", "key": short,
             "status": status,
@@ -255,6 +295,7 @@ def check_results(results: Dict, kind: Optional[str] = None,
             else:
                 status = "fail" if strict_active else "warn"
                 note = "underperforms random beyond slack"
+            status, note = _floor_downgrade(short, status, note)
             rows.append({
                 "check": "active_vs_random", "key": short,
                 "status": status,
@@ -420,6 +461,7 @@ def check_experiment_dir(outdir: str,
         strict_active = strict_active_for(outdir)
     rows: List[Dict] = []
     by_kind: Dict[str, Dict] = {}
+    adjudicated = load_adjudications(outdir)
     for path in sorted(glob.glob(os.path.join(outdir, "results_*.pkl"))):
         res = load_results(path)
         kind = guess_kind(res)
@@ -428,7 +470,12 @@ def check_experiment_dir(outdir: str,
         # main run, not an auxiliary one)
         by_kind.setdefault(kind, res)
         stem = os.path.basename(path)[len("results_"):-len(".pkl")]
-        for row in check_results(res, kind, strict_active=strict_active):
+        floored = {
+            crit: fname for (k, crit), fname in adjudicated.items()
+            if k in (None, kind)
+        }
+        for row in check_results(res, kind, strict_active=strict_active,
+                                 noise_floored=floored):
             row["run"] = stem
             rows.append(row)
         dg = digest(res, kind)

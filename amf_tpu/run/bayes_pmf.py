@@ -148,10 +148,14 @@ def main(argv=None):
 
             mesh = make_mesh(args.shard_candidates)
 
+        # reference's DrugBank behavior: binary data switches the recorded
+        # metric to misclassification (stan-bpmf/bpmf.py:53-54,932-942)
+        binary_acc = set(vals) in ({-1.0, 1.0}, {0.0, 1.0})
         results = run_active_gibbs(
             problem, real, key_names,
             latent_d=args.latent_d,
             rating_values=vals,
+            binary_acc=binary_acc,
             subtract_mean=args.subtract_mean,
             num_samps=args.samps,
             lookahead_samps=args.lookahead_samps,

@@ -148,6 +148,24 @@ def test_gibbs_active_loop(gibbs_problem):
         assert all(np.isfinite(r[1]) for r in recs)
 
 
+def test_gibbs_active_loop_binary_acc():
+    """binary_acc records misclassification (reference's DrugBank metric,
+    stan-bpmf/bpmf.py:53-54) instead of RMSE."""
+    rng = np.random.default_rng(7)
+    real = np.where(rng.normal(size=(8, 8)) > 0, 1.0, -1.0)
+    known = rng.random((8, 8)) < 0.4
+    prob = types.problem_from_dense(real, known, dtype=jnp.float64)
+    vals = (-1.0, 1.0)
+    kw = dict(latent_d=2, rating_values=vals, num_samps=16, steps=2, seed=0)
+    res = gibbs_loop.run_active_gibbs(
+        prob, real, ["random"], binary_acc=True, **kw)
+    errs = [r[1] for r in res["random"]]
+    assert all(0.0 <= e <= 1.0 for e in errs)
+    res_rmse = gibbs_loop.run_active_gibbs(
+        prob, real, ["random"], binary_acc=False, **kw)
+    assert errs != [r[1] for r in res_rmse["random"]]
+
+
 def test_gibbs_exp_variance_loop(gibbs_problem):
     real, prob, vals = gibbs_problem
     res = gibbs_loop.run_active_gibbs(

@@ -56,6 +56,28 @@ def test_strict_active_fails_on_rising_error():
     assert get(strict_rows)["status"] == "fail"
 
 
+def test_noise_floor_downgrades_fail_to_warn(tmp_path):
+    """A committed adjudication artifact (reliable: false) downgrades
+    strict-band fails on the measured criterion to evidence-citing warns;
+    reliable or unmatched artifacts leave the fail in place."""
+    res = _fake_results([1.0, 1.2, 1.4, 1.5])
+    rows = parity.check_results(
+        res, "apmf", strict_active=True,
+        noise_floored={"pred-variance": "adjudication_noise_floor.json"})
+    learn = [r for r in rows if r["check"] == "learning"][0]
+    assert learn["status"] == "warn"
+    assert "noise floor" in learn["detail"]
+    # loader: only reliable=false artifacts with criteria lists register
+    import json
+    (tmp_path / "adjudication_a.json").write_text(json.dumps(
+        {"kind": "bayes", "criteria": ["pred-variance"], "reliable": False}))
+    (tmp_path / "adjudication_b.json").write_text(json.dumps(
+        {"kind": "stan", "criteria": ["exp-variance"], "reliable": True}))
+    floored = parity.load_adjudications(str(tmp_path))
+    assert floored == {
+        ("bayes", "pred-variance"): "adjudication_a.json"}
+
+
 def test_strict_active_for_dir_names():
     assert parity.strict_active_for("experiments/10x10_discrete2_d2")
     assert parity.strict_active_for("experiments/drugbank-70x306-gibbs/")
