@@ -58,6 +58,8 @@ def run_active_stan(
     seed: int = 0,
     model_init_map: bool = True,
     binary_acc: bool = False,
+    warm_adapt: bool = False,
+    warm_warmup: Optional[int] = None,
     cfg: Optional[bpmf_hmc.HMCConfig] = None,
     mesh=None,  # jax.sharding.Mesh: shard lookahead candidates over devices
     dtype=jnp.float64,
@@ -70,6 +72,13 @@ def run_active_stan(
     binary_acc: report binary misclassification instead of RMSE (the
     reference's DrugBank metric, stan-bpmf/bpmf.py:53-54, picked via data
     values in MainProgram).
+
+    warm_adapt: carry NUTS adaptation (eps anchor + diagonal inverse mass)
+    between active steps; refits after the first drop to ``warm_warmup``
+    warmup transitions (default warmup // 4, min 20), and lookahead lanes
+    inherit the base chain's metric, skipping their per-lane
+    reasonable-eps search. Deliberate extension over the reference's
+    full-warmup-per-step (stan-bpmf/bpmf.py:310-314); see PARITY.md.
     """
     for k in key_names:
         if k not in KEYS:
@@ -97,9 +106,12 @@ def run_active_stan(
         pst, _ = pmf.fit(pst, problem, pcfg)
         U0, V0 = pst.U, pst.V
 
+    if warm_adapt and warm_warmup is None:
+        warm_warmup = max(warmup // 4, 20)
     sample_fn = jax.jit(
         lambda k, st, prob: bpmf_hmc.samples(
             k, st, prob, cfg, num_samps, warmup, chains=chains,
+            carry_adapt=warm_adapt, warm_warmup=warm_warmup,
             # the candidate mesh doubles as the chain mesh when chains
             # divide over it (the reference's process-parallel Stan chains)
             chain_mesh=(mesh if chains > 1 and mesh is not None

@@ -27,7 +27,7 @@ vmapped and sharded over a device mesh.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -353,6 +353,8 @@ def run_nuts(
     adapt_mass: bool = True,
     init_eps: float = 1.0,
     return_adaptation: bool = False,
+    eps_anchor: Optional[jax.Array] = None,
+    init_inv_mass: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, NUTSInfo]:
     """Warmup (step-size + diagonal mass adaptation) then sampling.
 
@@ -364,13 +366,31 @@ def run_nuts(
     metric — the single-window variant froze chains at scale (a mass
     estimated from a still-traveling chain shrinks velocities by orders of
     magnitude and a short post-switch buffer cannot rescale eps; see
-    BENCHMARKS.md round-3 NUTS-mixing note)."""
+    BENCHMARKS.md round-3 NUTS-mixing note).
+
+    eps_anchor / init_inv_mass warm-start adaptation from a previously
+    adapted chain on a nearby posterior (the active-loop case: one new
+    rating barely moves the geometry). Given both, the reasonable-eps
+    doubling search is skipped and warmup (which the caller typically
+    shortens) only refines the carried anchor via the ESJD grid. No Stan
+    analogue — the reference re-runs full warmup every active step
+    (stan-bpmf/bpmf.py:310-314)."""
     dim = q0.shape[0]
     dtype = q0.dtype
-    inv_mass0 = jnp.ones(dim, dtype)
+    inv_mass0 = (jnp.ones(dim, dtype) if init_inv_mass is None
+                 else init_inv_mass.astype(dtype))
+    # a warm start trusts the carried metric: the short warm warmup's
+    # mass window (~15 draws) can only replace a full prior warmup's
+    # estimate with noise (measured: err spikes + slower trees,
+    # scripts/probe_warm_adapt.py) — so warm warmups refine eps only
+    adapt_mass = adapt_mass and init_inv_mass is None
 
-    kf, key = jax.random.split(key)
-    eps0 = find_reasonable_step_size(kf, q0, logprob_fn, inv_mass0, init_eps)
+    if eps_anchor is None:
+        kf, key = jax.random.split(key)
+        eps0 = find_reasonable_step_size(
+            kf, q0, logprob_fn, inv_mass0, init_eps)
+    else:
+        eps0 = jnp.asarray(eps_anchor, dtype)
 
     is_accum, is_switch, is_refine = _warmup_schedule(warmup, adapt_mass)
 

@@ -302,11 +302,20 @@ def log_posterior(
 
 @struct.dataclass
 class BPMFState:
-    """Carries the sampled-mode warm start (stan-bpmf/bpmf.py:218-220)."""
+    """Carries the sampled-mode warm start (stan-bpmf/bpmf.py:218-220).
+
+    adapt_eps / adapt_inv_mass optionally carry NUTS adaptation (step-size
+    anchor + diagonal inverse mass) between active steps — populated only
+    by ``samples(..., carry_adapt=True)``; a zero-size adapt_inv_mass means
+    "no carried adaptation" (the shape is a static jit signal). The
+    reference re-runs full Stan warmup each step; carrying the metric is a
+    deliberate extension (PARITY.md)."""
 
     mode_q: jax.Array  # best-lp flat parameter vector seen so far
     mode_lp: jax.Array
     mean_rating: jax.Array
+    adapt_eps: jax.Array
+    adapt_inv_mass: jax.Array
 
 
 def init_state(
@@ -321,6 +330,8 @@ def init_state(
         mode_q=q0,
         mode_lp=jnp.asarray(-jnp.inf, dtype),
         mean_rating=problem.mean_rating().astype(dtype),
+        adapt_eps=jnp.zeros((), dtype),
+        adapt_inv_mass=jnp.zeros((0,), dtype),
     )
 
 
@@ -341,6 +352,8 @@ def samples(
     warmup: Optional[int] = None,
     chains: int = 1,
     chain_mesh=None,  # jax.sharding.Mesh: shard the chain axis over devices
+    carry_adapt: bool = False,
+    warm_warmup: Optional[int] = None,
 ) -> Tuple[BPMFState, Dict[str, jax.Array]]:
     """Run NUTS for num_samps draws after warmup (default num_samps // 2,
     stan-bpmf/bpmf.py:310-311), starting at the sampled mode; update the mode
@@ -352,34 +365,60 @@ def samples(
     shards the chain axis over a device mesh (parallel.sharding
     .sharded_chain_map) — identical draws to the vmapped path, since
     per-chain streams come from the explicit keys.
+
+    If the state carries adaptation (adapt_inv_mass non-empty — stored by a
+    previous carry_adapt=True call), the chain warm-starts from that metric
+    and eps anchor: the reasonable-eps search is skipped and warmup drops
+    to ``warm_warmup`` (if given). carry_adapt stores this run's final
+    adaptation on the returned state (per-chain when chains > 1). The
+    reference re-runs full warmup per active step; see PARITY.md.
     """
     if warmup is None:
         warmup = num_samps // 2
     n, m = problem.shape
     shapes = ParamShapes(n, m, cfg.latent_d)
 
+    warm = state.adapt_inv_mass.size > 0  # static: shape-based jit signal
+    if warm and warm_warmup is not None:
+        warmup = warm_warmup
+
     def logp(q):
         return log_posterior(q, problem, state.mean_rating, cfg, shapes)
 
-    if chains > 1:
-        keys = jax.random.split(key, chains)
-        run_one = lambda k: nuts.run_nuts(
+    def run_one(k, eps_anchor=None, init_inv_mass=None):
+        return nuts.run_nuts(
             k, state.mode_q, logp, num_samps, warmup,
             cfg=nuts.NUTSConfig(max_depth=cfg.max_depth),
+            eps_anchor=eps_anchor, init_inv_mass=init_inv_mass,
+            return_adaptation=True,
         )
+
+    adapt = None
+    if chains > 1:
+        keys = jax.random.split(key, chains)
+        # the carried metric broadcasts to every chain via the closure
+        # (chains target the same posterior), so the warm path composes
+        # with both vmap and the sharded chain map
+        f = ((lambda k: run_one(k, state.adapt_eps, state.adapt_inv_mass))
+             if warm else run_one)
         if chain_mesh is not None:
             from amf_tpu.parallel.sharding import sharded_chain_map
 
-            qs, info = sharded_chain_map(run_one, chain_mesh)(keys)
+            qs, info, adapt = sharded_chain_map(f, chain_mesh)(keys)
         else:
-            qs, info = jax.vmap(run_one)(keys)
+            qs, info, adapt = jax.vmap(f)(keys)
+        # pool a single carried metric: the mean adapted state across
+        # chains (they target the same posterior)
+        adapt = {"eps": jnp.mean(adapt["eps"]),
+                 "inv_mass": jnp.mean(adapt["inv_mass"], axis=0)}
         qs = qs.reshape(chains * num_samps, -1)
         info = jax.tree.map(lambda x: x.reshape(chains * num_samps), info)
         num_samps = chains * num_samps
     else:
-        qs, info = nuts.run_nuts(
-            key, state.mode_q, logp, num_samps, warmup,
-            cfg=nuts.NUTSConfig(max_depth=cfg.max_depth),
+        qs, info, adapt = run_one(
+            key,
+            eps_anchor=state.adapt_eps if warm else None,
+            init_inv_mass=state.adapt_inv_mass if warm else None,
         )
     lps = info.logprob
     best = jnp.argmax(lps)
@@ -388,6 +427,11 @@ def samples(
         mode_q=jnp.where(better, qs[best], state.mode_q),
         mode_lp=jnp.where(better, lps[best], state.mode_lp),
     )
+    if carry_adapt:
+        new_state = new_state.replace(
+            adapt_eps=adapt["eps"].astype(state.mode_q.dtype),
+            adapt_inv_mass=adapt["inv_mass"].astype(state.mode_q.dtype),
+        )
     nd = n * cfg.latent_d
     U_s = qs[:, :nd].reshape(num_samps, n, cfg.latent_d)
     V_s = qs[:, nd : nd + m * cfg.latent_d].reshape(num_samps, m, cfg.latent_d)
@@ -461,6 +505,14 @@ def lookahead_scores(
     def eval_one(i, j, v, k):
         prob2 = problem.add_rating(i, j, v)
         st2 = invalidate_mode(state, prob2)
+        # lanes adapt cold even when the loop state carries adaptation:
+        # the base chain's eps anchor is tuned for long exploration and
+        # measurably mistunes the short per-lane chains (slower trees,
+        # worse picks — scripts/probe_warm_adapt.py negative result)
+        st2 = st2.replace(
+            adapt_eps=jnp.zeros((), dtype),
+            adapt_inv_mass=jnp.zeros((0,), dtype),
+        )
         st2, samps = samples(k, st2, prob2, cfg, num_samps, warmup)
         if stat == "entropy-est":
             return sample_stats.entropy_est_from_factors(

@@ -38,6 +38,15 @@ def main(argv=None):
     parser.add_argument("--scan-evals", action="store_true", default=False,
                         help="with --scan: also record per-step criterion "
                              "maps in the results (steps*n*m memory)")
+    parser.add_argument("--warm-adapt", action="store_true", default=False,
+                        help="carry NUTS adaptation (eps + inverse mass) "
+                             "between active steps: refits after the first "
+                             "use --warm-warmup transitions and lookahead "
+                             "lanes inherit the base chain's metric (no "
+                             "reference analogue; see PARITY.md)")
+    parser.add_argument("--warm-warmup", type=int, default=None,
+                        help="warmup for warm-started refits "
+                             "(default warmup//4, min 20)")
     parser.add_argument("--subtract-mean", action="store_true", default=True)
     parser.add_argument(
         "--no-subtract-mean", action="store_false", dest="subtract_mean"
@@ -127,6 +136,9 @@ def main(argv=None):
         sys.exit(1)
     model_variant = model_by_file[args.model_filename]
 
+    if args.scan and args.warm_adapt:
+        parser.error("--warm-adapt needs the host loop (the scan carry is "
+                     "shape-fixed); drop --scan")
     if args.scan:
         import jax
 
@@ -187,6 +199,8 @@ def main(argv=None):
             model_init_map=args.model_init,
             checkpoint_path=args.checkpoint,
             binary_acc=binary_acc,
+            warm_adapt=args.warm_adapt,
+            warm_warmup=args.warm_warmup,
             dtype=dtype,
             verbose=args.verbose,
         )

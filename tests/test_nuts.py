@@ -145,3 +145,24 @@ def test_funnel_chain_keeps_moving(key):
     assert jumps.mean() > 0.5, jumps.mean()   # frozen chains gave ~1e-4
     assert s[:, 0].std() > 1.0, s[:, 0].std()  # v spread (true sd = 3)
     assert np.isfinite(s).all()
+
+
+def test_warm_start_adaptation(key):
+    """eps_anchor + init_inv_mass warm-start: a short-warmup chain carrying
+    the adaptation of a previous run on the same target matches the
+    posterior as well as a full cold warmup (the active-loop refit case)."""
+    scales = jnp.asarray([0.1, 1.0, 10.0])
+    logp = lambda q: -0.5 * jnp.sum((q / scales) ** 2)
+    k1, k2 = jax.random.split(key)
+    _, _, adapt = nuts.run_nuts(
+        k1, jnp.zeros(3), logp, num_samples=500, warmup=300,
+        return_adaptation=True,
+    )
+    assert adapt["inv_mass"].shape == (3,)
+    samples, info = nuts.run_nuts(
+        k2, jnp.zeros(3), logp, num_samples=1500, warmup=30,
+        eps_anchor=adapt["eps"], init_inv_mass=adapt["inv_mass"],
+    )
+    s = np.asarray(samples)
+    np.testing.assert_allclose(s.std(0), np.asarray(scales), rtol=0.25)
+    assert float(np.asarray(info.diverging).mean()) < 0.05

@@ -32,6 +32,34 @@ def test_stan_loop_direct_keys(stan_problem):
         assert all(np.isfinite(r[1]) for r in recs)
 
 
+def test_stan_loop_warm_adapt(stan_problem, key):
+    """warm_adapt carries NUTS adaptation between active steps: the state
+    picks up a populated metric after the first refit, lookahead lanes
+    inherit it, and the sweep's error trace stays sane."""
+    real, prob, vals = stan_problem
+    res = stan_loop.run_active_stan(
+        prob, real, ["pred-variance", "exp-variance"],
+        latent_d=2, rating_values=vals, num_samps=24, warmup=16,
+        lookahead_samps=5, lookahead_warmup=3,
+        steps=3, seed=0, warm_adapt=True, warm_warmup=6,
+    )
+    for k in ["pred-variance", "exp-variance"]:
+        assert len(res[k]) == 3
+        assert all(np.isfinite(r[1]) for r in res[k])
+
+    # state-level: carry_adapt populates the metric, and a warm re-run
+    # accepts it (shape-static dispatch)
+    cfg = bpmf_hmc.HMCConfig(latent_d=2)
+    st = bpmf_hmc.init_state(prob, cfg, dtype=jnp.float64)
+    assert st.adapt_inv_mass.size == 0
+    st, _ = bpmf_hmc.samples(key, st, prob, cfg, 10, 8, carry_adapt=True)
+    assert st.adapt_inv_mass.shape == (st.mode_q.shape[0],)
+    assert float(st.adapt_eps) > 0
+    st2, samps = bpmf_hmc.samples(key, st, prob, cfg, 10, 8,
+                                  carry_adapt=True, warm_warmup=4)
+    assert np.isfinite(np.asarray(samps["lp__"])).all()
+
+
 def test_stan_loop_exp_entropy(stan_problem):
     real, prob, vals = stan_problem
     res = stan_loop.run_active_stan(
