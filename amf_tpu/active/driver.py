@@ -60,12 +60,21 @@ def drive_active(
     steps: Optional[int] = None,
     ckpt: Optional[LoopCheckpointer] = None,
     verbose: bool = False,
+    replay: Optional[Dict[str, List[Optional[Tuple[int, int]]]]] = None,
 ) -> Dict[str, List[tuple]]:
     """Run the per-criterion sweeps; returns {criterion: records}.
 
     Every criterion starts from the same initial ``state0`` (the reference
     deep-copies the initial model per criterion thread,
     active_pmf.py:1071-1073 — free here, states are immutable).
+
+    ``replay`` maps criterion -> the pick list of a previous run (record
+    field 2, None first): scoring is skipped and the recorded cells are
+    queried in order, while the refit key stream is the step-indexed one
+    the original run used — so the model trajectory is reproduced exactly
+    (up to platform numerics) and the err trace can be re-scored under a
+    different metric (e.g. re-recording a binary workload's RMSE trace as
+    misclassification after the fact).
     """
     n, m = problem.shape
     ckpt = ckpt or LoopCheckpointer(None)
@@ -94,12 +103,19 @@ def drive_active(
             records = [rec]
         t0 = time.time()
 
+        replay_picks = (replay or {}).get(kname)
+        if replay_picks is not None:
+            max_steps = min(max_steps, len(replay_picks))
+
         while bool(prob_k.queryable.any()) and len(records) < max_steps:
             # step-indexed keys: resume at step k reproduces the key stream
             # the uninterrupted run would have used
             kstep = jax.random.fold_in(kloop, len(records))
             kscore, krefit = jax.random.split(kstep)
-            if int(prob_k.queryable.sum()) == 1:
+            if replay_picks is not None:
+                i, j = (int(x) for x in replay_picks[len(records)])
+                evals = None
+            elif int(prob_k.queryable.sum()) == 1:
                 ii, jj = np.nonzero(np.asarray(prob_k.queryable))
                 i, j = int(ii[0]), int(jj[0])
                 evals = None

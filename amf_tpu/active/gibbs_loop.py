@@ -92,13 +92,18 @@ def run_active_gibbs(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 20,
     binary_acc: bool = False,
+    replay: Optional[Dict[str, list]] = None,
 ) -> Dict[str, object]:
     """Multi-criterion Gibbs active loop (reference: compare_active :733-825).
 
     binary_acc: record binary misclassification instead of RMSE — the
     reference's DrugBank metric (stan-bpmf/bpmf.py:53-54; its deprecated
     bayes driver records RMSE only, so this is a deliberate extension for
-    the ±1 workloads, PARITY.md)."""
+    the ±1 workloads, PARITY.md).
+
+    replay: {criterion: pick list} — re-drive a previous run's pick
+    sequence (scoring skipped; identical refit key stream) to re-score its
+    err trace, e.g. under the binary metric. See driver.drive_active."""
     for k in key_names:
         if k not in KEYS:
             raise ValueError(f"unknown Gibbs criterion {k!r}")
@@ -260,6 +265,6 @@ def run_active_gibbs(
     )
     results.update(
         drive_active(problem, real, key_names, family, (pst0, stats0), key,
-                     steps=steps, ckpt=ckpt, verbose=verbose)
+                     steps=steps, ckpt=ckpt, verbose=verbose, replay=replay)
     )
     return results

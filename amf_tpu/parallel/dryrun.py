@@ -27,7 +27,18 @@ from amf_tpu.parallel.sharding import best_candidate, sharded_candidate_scores
 
 
 def run_dryrun(n_devices: int) -> None:
-    devices = jax.devices()
+    # the dryrun only ever needs the virtual CPU mesh — pin the platform
+    # BEFORE first backend use so a broken accelerator tunnel can neither
+    # hang nor fail the initialization (JAX_PLATFORMS is ignored in this
+    # environment; axon would otherwise be tried first)
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass  # backends already initialized by the caller — use as-is
+    try:
+        devices = jax.devices()
+    except RuntimeError:
+        devices = []
     if len(devices) < n_devices:
         # fall back to the virtual host-device trick (requires
         # --xla_force_host_platform_device_count to be >= n_devices); query

@@ -12,8 +12,23 @@ from __future__ import annotations
 
 
 def setup(use_x64: bool) -> str:
-    """Configure JAX for the requested precision; returns the backend name."""
+    """Configure JAX for the requested precision; returns the backend name.
+
+    AMF_PLATFORM=cpu (or tpu) overrides platform selection outright — the
+    JAX_PLATFORMS env var is ignored in this environment (a TPU backend is
+    pre-registered at interpreter startup), and a dead accelerator tunnel
+    makes default-platform discovery hang rather than fail, so an explicit
+    escape hatch is needed to run f32 jobs on the host."""
+    import os
+
     import jax
+
+    forced = os.environ.get("AMF_PLATFORM")
+    if forced:
+        jax.config.update("jax_platforms", forced)
+        if use_x64:
+            jax.config.update("jax_enable_x64", True)
+        return jax.default_backend()
 
     if use_x64:
         jax.config.update("jax_enable_x64", True)

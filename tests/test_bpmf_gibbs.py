@@ -166,6 +166,22 @@ def test_gibbs_active_loop_binary_acc():
     assert errs != [r[1] for r in res_rmse["random"]]
 
 
+def test_gibbs_replay_reproduces_run(gibbs_problem):
+    """driver replay: re-driving a run's recorded picks with the same seed
+    reproduces the exact err trace (scoring skipped, refit keys identical)
+    — the mechanism used to re-score recorded runs under another metric."""
+    real, prob, vals = gibbs_problem
+    kw = dict(latent_d=2, rating_values=vals, num_samps=16, steps=3, seed=0)
+    orig = gibbs_loop.run_active_gibbs(prob, real, ["pred-variance"], **kw)
+    picks = [r[2] for r in orig["pred-variance"]]  # None-first, as recorded
+    rep = gibbs_loop.run_active_gibbs(
+        prob, real, ["pred-variance"],
+        replay={"pred-variance": picks}, **kw)
+    for ro, rr in zip(orig["pred-variance"], rep["pred-variance"]):
+        assert ro[0] == rr[0] and ro[2] == rr[2]
+        np.testing.assert_allclose(ro[1], rr[1], rtol=1e-12)
+
+
 def test_gibbs_exp_variance_loop(gibbs_problem):
     real, prob, vals = gibbs_problem
     res = gibbs_loop.run_active_gibbs(
