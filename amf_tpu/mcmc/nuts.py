@@ -426,7 +426,12 @@ def run_nuts(
         q_new, info = nuts_kernel(kstep, q, logprob_fn, eps_t, inv_mass, cfg)
         jump = jnp.sum((q_new - q) ** 2)
         esjd = esjd.at[arm].add(jump)
-        arm_n = arm_n.at[arm].add(1.0)
+        # normalize by COST, not transitions: NUTS pays per leapfrog, and a
+        # small eps can always buy a bigger per-transition jump with an
+        # exponentially deeper tree. jump^2 per leapfrog (ratio estimator
+        # over the arm's accumulated sums) picks the compute-efficient
+        # mixing basin; frozen arms still score ~0 (58k funnel guard).
+        arm_n = arm_n.at[arm].add(info.num_leaves.astype(dtype))
         q = q_new
 
         # Welford accumulation of position variance
@@ -447,7 +452,7 @@ def run_nuts(
         mass_changed = switch & (w_n > 1) & traversed
         new_inv_mass = jnp.where(mass_changed, reg, inv_mass)
 
-        # eps refinement: re-center the anchor on the best-mixing arm
+        # eps refinement: re-center the anchor on the best jump-per-leapfrog arm
         best = jnp.argmax(
             jnp.where(arm_n > 0, esjd / jnp.maximum(arm_n, 1), -jnp.inf)
         )

@@ -247,7 +247,43 @@ def bench_pmf_refit_kernel(jax, jnp, prob, pst, pcfg):
     return PK_N_CAND / (time.perf_counter() - t0)
 
 
+def _probe_accelerator(timeout_s: float = 180.0) -> bool:
+    """True if the accelerator backend initializes in a child process.
+
+    A dead tunnel makes backend init HANG (not fail) in this environment —
+    probing in a killable child keeps the bench from wedging the driver;
+    on failure the bench runs on the host and labels the JSON
+    platform=cpu so the number is never mistaken for a chip result."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); "
+             "assert any(x.platform != 'cpu' for x in d)"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    accel = _probe_accelerator()
+    if not accel:
+        from amf_tpu.utils.platform import setup as platform_setup
+        import os
+
+        os.environ["AMF_PLATFORM"] = "cpu"
+        platform_setup(use_x64=False)
+        # host fallback: bound the shape and fan-outs so the bench stays
+        # minutes, not hours, on one core (the JSON's workload string and
+        # platform field reflect the actual run; vs_baseline stays
+        # apples-to-apples — the pool runs the same shrunken shape)
+        global N, M, N_CAND, TILE, BASE_SAMPS, PK_N_CAND
+        N, M = 189, 336
+        N_CAND, TILE, BASE_SAMPS, PK_N_CAND = 16, 8, 64, 128
+
     import jax
     import jax.numpy as jnp
 
@@ -272,14 +308,18 @@ def main():
 
     vn_rate = bench_vn_total_variance(jax, jnp)
 
-    pcfg = pmf.PMFConfig(latent_d=D, max_fit_steps=200)
-    pst = pmf.init_state(jax.random.PRNGKey(0), N, M, pcfg, prob,
-                         dtype=jnp.float32)
-    pst, _ = pmf.fit(pst, prob, pcfg)
-    pk_rate = bench_pmf_refit_kernel(jax, jnp, prob, pst, pcfg)
+    if accel:
+        pcfg = pmf.PMFConfig(latent_d=D, max_fit_steps=200)
+        pst = pmf.init_state(jax.random.PRNGKey(0), N, M, pcfg, prob,
+                             dtype=jnp.float32)
+        pst, _ = pmf.fit(pst, prob, pcfg)
+        pk_rate = bench_pmf_refit_kernel(jax, jnp, prob, pst, pcfg)
+    else:
+        pk_rate = None  # Pallas TPU kernel: no host lowering
 
     print(json.dumps({
         "metric": "gibbs_exp_variance_scores_per_sec",
+        "platform": jax.default_backend(),
         "value": round(e2e, 2),
         "unit": "candidates/s",
         "vs_baseline": round(e2e / pool_rate, 1),
@@ -290,7 +330,8 @@ def main():
         "workload": f"{N}x{M} d={D} 5-value lookahead, "
                     f"{LA_SAMPS}-sample chains",
         "vn_total_variance_scores_per_sec": round(vn_rate, 2),
-        "pmf_refit_kernel_scores_per_sec": round(pk_rate, 2),
+        "pmf_refit_kernel_scores_per_sec": (
+            round(pk_rate, 2) if pk_rate is not None else None),
     }))
 
 
