@@ -282,7 +282,7 @@ def main():
         # apples-to-apples — the pool runs the same shrunken shape)
         global N, M, N_CAND, TILE, BASE_SAMPS, PK_N_CAND
         N, M = 189, 336
-        N_CAND, TILE, BASE_SAMPS, PK_N_CAND = 16, 8, 64, 128
+        N_CAND, TILE, BASE_SAMPS, PK_N_CAND = 8, 8, 64, 128
 
     import jax
     import jax.numpy as jnp
