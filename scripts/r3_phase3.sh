@@ -26,7 +26,8 @@ run() {
   local tag="$1"; shift
   echo "=== $(date +%H:%M:%S) $tag: $*" | tee -a experiments/logs/r3_queue.log
   "$@" >> "experiments/logs/r3_${tag}.log" 2>&1
-  echo "=== $(date +%H:%M:%S) $tag exit=$?" | tee -a experiments/logs/r3_queue.log
+  local rc=$?  # capture BEFORE $(date) in the echo resets $?
+  echo "=== $(date +%H:%M:%S) $tag exit=$rc" | tee -a experiments/logs/r3_queue.log
 }
 
 exp() {
