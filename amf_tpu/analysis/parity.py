@@ -450,6 +450,30 @@ def aggregate_seed_checks(
     return rows
 
 
+def _seed_passing_bands(outdir: str) -> Dict[Tuple[str, str], str]:
+    """(stem, key) pairs whose seed-MEAN band passes in a committed
+    parity_report_seeds.json (written by `run.experiment --seeds --check`).
+
+    A strict single-run band exists to catch real regressions, but on the
+    small workloads one draw is noisy; when the seed-mean estimator of the
+    same statistic passes, a single-run fail is a draw, not a defect —
+    downgrade it with the evidence pointer."""
+    path = os.path.join(outdir, "parity_report_seeds.json")
+    out: Dict[Tuple[str, str], str] = {}
+    try:
+        with open(path) as f:
+            report = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return out
+    for row in report.get("checks", []):
+        if not row.get("check", "").startswith("seed_"):
+            continue
+        if row.get("status") == "pass" and ":" in row.get("key", ""):
+            stem, key = row["key"].split(":", 1)
+            out[(stem, key)] = os.path.basename(path)
+    return out
+
+
 def check_experiment_dir(outdir: str,
                          strict_active: Optional[bool] = None
                          ) -> Tuple[List[Dict], bool]:
@@ -462,6 +486,7 @@ def check_experiment_dir(outdir: str,
     rows: List[Dict] = []
     by_kind: Dict[str, Dict] = {}
     adjudicated = load_adjudications(outdir)
+    seed_pass = _seed_passing_bands(outdir)
     for path in sorted(glob.glob(os.path.join(outdir, "results_*.pkl"))):
         res = load_results(path)
         kind = guess_kind(res)
@@ -477,6 +502,12 @@ def check_experiment_dir(outdir: str,
         for row in check_results(res, kind, strict_active=strict_active,
                                  noise_floored=floored):
             row["run"] = stem
+            if (row["status"] == "fail"
+                    and (stem, row["key"]) in seed_pass):
+                row["status"] = "warn"
+                row["detail"] += (
+                    "; single-seed draw — the seed-mean band passes "
+                    f"({seed_pass[(stem, row['key'])]})")
             rows.append(row)
         dg = digest(res, kind)
         # digest named after the results file (not the kind): one dir can

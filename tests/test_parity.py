@@ -78,6 +78,22 @@ def test_noise_floor_downgrades_fail_to_warn(tmp_path):
         ("bayes", "pred-variance"): "adjudication_a.json"}
 
 
+def test_seed_passing_bands_loader(tmp_path):
+    import json
+    (tmp_path / "parity_report_seeds.json").write_text(json.dumps({
+        "checks": [
+            {"check": "seed_active_vs_random", "key": "mmmf:min-margin",
+             "status": "pass", "detail": "..."},
+            {"check": "seed_active_vs_random", "key": "apmf:pred-variance",
+             "status": "warn", "detail": "..."},
+            {"check": "active_vs_random", "key": "notseed", "status": "pass",
+             "detail": "..."},
+        ]}))
+    got = parity._seed_passing_bands(str(tmp_path))
+    assert got == {("mmmf", "min-margin"): "parity_report_seeds.json"}
+    assert parity._seed_passing_bands(str(tmp_path / "missing")) == {}
+
+
 def test_strict_active_for_dir_names():
     assert parity.strict_active_for("experiments/10x10_discrete2_d2")
     assert parity.strict_active_for("experiments/drugbank-70x306-gibbs/")
