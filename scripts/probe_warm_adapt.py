@@ -30,6 +30,11 @@ from amf_tpu.data import make_fake_data  # noqa: E402
 
 rng = np.random.default_rng(3)
 
+# horizon for the direct arm (ROADMAP round-4: measure at >=50-step
+# horizons where the warm retrace amortizes); `steps=N` on argv overrides.
+STEPS = int(next((a.split("=", 1)[1] for a in sys.argv
+                  if a.startswith("steps=")), "12"))
+
 
 def make_prob(n, m):
     real, known, vals = make_fake_data(
@@ -52,7 +57,8 @@ out = {}
 # direct-key arm: mid-size (refit warmup dominates). steps high enough to
 # amortize the one extra jit trace the warm state structure costs.
 real, prob, vals = make_prob(60, 40)
-kw = dict(latent_d=8, rating_values=vals, num_samps=60, warmup=80, steps=12)
+kw = dict(latent_d=8, rating_values=vals, num_samps=60, warmup=80,
+          steps=STEPS)
 out["direct"] = {"shape": "60x40 d=8 (3.2k params)", **kw}
 # warm first then cold: any cache warm-up penalty lands on the warm arm
 dt_w, errs_w = run(prob, real, ["pred-variance"], True, **kw)
