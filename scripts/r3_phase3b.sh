@@ -5,7 +5,7 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 mkdir -p experiments/logs
-export PYTHONPATH=/root/repo
+export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 
 # wait for the in-flight 70x306 exp-variance re-run (if any)
 if [[ -n "${WAIT_PID:-}" ]]; then

@@ -19,7 +19,7 @@ run() {
   echo "=== $(date +%H:%M:%S) $tag exit=$rc" | tee -a experiments/logs/r3_queue.log
 }
 
-export PYTHONPATH=/root/repo
+export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 run db70_expvar_probe2 python scripts/adjudicate_noise_floor.py expvar
 run db70_check2 python -m amf_tpu.run.experiment drugbank-70x306-gibbs --check
 run 10x10d4_resume python -m amf_tpu.run.experiment 10x10_discrete4_d4

@@ -7,7 +7,7 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 mkdir -p experiments/logs
-export PYTHONPATH=/root/repo
+export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 
 OUT=experiments/10x10_discrete4_d4
 L=experiments/logs/r3_seeds_d4.log

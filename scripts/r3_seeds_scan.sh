@@ -10,7 +10,7 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 mkdir -p experiments/logs
-export PYTHONPATH=/root/repo
+export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 
 OUT=experiments/10x10_discrete2_d2
 L=experiments/logs/r3_seeds_scan.log

@@ -1,7 +1,8 @@
 #!/usr/bin/env bash
-# Chip queue, take 2 (round 3 cont.): the 13:12 launch of r4_queue.sh ran
-# while the accelerator tunnel was down, so the 58k stan job silently fell
-# back to XLA-CPU (~49 s/step vs ~2.5 s/step on-chip, BENCHMARKS.md:152).
+# Chip queue, take 2 (round 3 cont.): the 13:12 launch of r4_queue.sh
+# clobbered PYTHONPATH (dropping /root/.axon_site, whose sitecustomize
+# registers the axon TPU backend), so the 58k stan job silently fell back
+# to XLA-CPU (~49 s/step vs ~2.5 s/step on-chip, BENCHMARKS.md:152).
 # This version (a) RESUMES checkpointed runs instead of --force restarts
 # where results were already cleared, and (b) gates every job on a live
 # tunnel probe so a dead tunnel pauses the queue instead of burning hours
@@ -9,15 +10,17 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 mkdir -p experiments/logs
-export PYTHONPATH=/root/repo
+export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 QLOG=experiments/logs/r4_queue.log
 
 wait_for_tpu() {
   # Probe until jax sees the chip; a dead tunnel HANGS discovery rather
-  # than failing (CLAUDE.md), so bound each probe. ~2h of patience.
+  # than failing (CLAUDE.md), so bound each probe. The attach itself can
+  # take ~3 min under load (measured 18 Aug: import jax + axon init 180 s,
+  # then devices() in 0.1 s), so the bound must be generous. ~2h patience.
   local tries=0
   while true; do
-    if timeout 120 python -c "import jax; jax.devices()" > /dev/null 2>&1; then
+    if timeout 300 python -c "import jax; jax.devices()" > /dev/null 2>&1; then
       return 0
     fi
     tries=$((tries + 1))
