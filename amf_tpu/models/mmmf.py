@@ -34,9 +34,16 @@ from flax import struct
 
 class MMMFConfig(NamedTuple):
     C: float = 1.0  # slack penalty (reference default in evaluate_active.m)
-    rho: float = 1.0  # ADMM penalty
+    rho: float = 1.0  # initial ADMM penalty
     max_iters: int = 2000
     tol: float = 1e-6  # primal/dual residual tolerance (Frobenius, relative)
+    # residual balancing (Boyd et al. 2011 §3.4.1): scale rho up/down by
+    # rho_scale when one residual exceeds balance_mu x the other. Cuts the
+    # iteration count severalfold on the active-loop re-solves, where the
+    # fixed-rho iteration always hit the max_iters cap.
+    adapt_rho: bool = True
+    balance_mu: float = 10.0
+    rho_scale: float = 2.0
 
 
 @struct.dataclass
@@ -54,10 +61,29 @@ def init_state(n: int, m: int, dtype=jnp.float32) -> MMMFState:
 
 
 def _svt(a: jax.Array, tau) -> jax.Array:
-    """Singular-value soft-thresholding: prox of tau * ||.||_*."""
-    u, s, vt = jnp.linalg.svd(a, full_matrices=False)
-    s = jnp.maximum(s - tau, 0.0)
-    return (u * s[None, :]) @ vt
+    """Singular-value soft-thresholding: prox of tau * ||.||_*.
+
+    Computed from eigh of the small-side Gram rather than a full SVD:
+    A = U S V^T gives A^T A = V S^2 V^T and svt(A) = A V diag(f) V^T with
+    f = (s - tau)_+ / s. LAPACK's divide-and-conquer SVD (gesdd, what
+    jnp.linalg.svd lowers to on CPU) intermittently fails to converge on
+    warm-started ADMM iterates and emits NaN (observed as a poisoned chain +
+    DLASCL 'illegal value' warnings on the newmovies-20d mmmf run); syevd on
+    the symmetrized Gram is robust, and only singular values above tau
+    matter, so the 1/s factor never divides by anything below tau. The
+    squared condition number is harmless here: s >= tau = 1/rho is huge
+    against eps * s_max^2 at these scales.
+    """
+    n, m = a.shape
+    if m <= n:
+        w, V = jnp.linalg.eigh(a.T @ a)
+        s = jnp.sqrt(jnp.maximum(w, 0.0))
+        f = jnp.where(s > tau, (s - tau) / jnp.maximum(s, tau), 0.0)
+        return ((a @ V) * f[None, :]) @ V.T
+    w, U = jnp.linalg.eigh(a @ a.T)
+    s = jnp.sqrt(jnp.maximum(w, 0.0))
+    f = jnp.where(s > tau, (s - tau) / jnp.maximum(s, tau), 0.0)
+    return (U * f[None, :]) @ (U.T @ a)
 
 
 def _hinge_prox(a: jax.Array, y: jax.Array, observed: jax.Array, c_over_rho):
@@ -88,26 +114,50 @@ def solve(
     n, m = Y.shape
     if state is None:
         state = init_state(n, m, Y.dtype)
-    c_over_rho = cfg.C / cfg.rho
     scale = jnp.maximum(jnp.sqrt(jnp.sum(observed)), 1.0)
+    rho0 = jnp.asarray(cfg.rho, Y.dtype)
 
     def cond(carry):
-        st, it, resid = carry
+        st, rho, it, resid = carry
         return (resid > cfg.tol) & (it < cfg.max_iters)
 
     def body(carry):
-        st, it, _ = carry
-        X = _svt(st.Z - st.W, 1.0 / cfg.rho)
-        Z = _hinge_prox(X + st.W, Y, observed, c_over_rho)
+        st, rho, it, _ = carry
+        X = _svt(st.Z - st.W, 1.0 / rho)
+        Z = _hinge_prox(X + st.W, Y, observed, cfg.C / rho)
         W = st.W + X - Z
         primal = jnp.linalg.norm(X - Z) / scale
-        dual = cfg.rho * jnp.linalg.norm(Z - st.Z) / scale
+        dual = rho * jnp.linalg.norm(Z - st.Z) / scale
         resid = jnp.maximum(primal, dual)
-        return MMMFState(X=X, Z=Z, W=W), it + 1, resid
+        if cfg.adapt_rho:
+            # residual balancing; the scaled dual W = u/rho rescales with rho
+            up = primal > cfg.balance_mu * dual
+            down = dual > cfg.balance_mu * primal
+            fac = jnp.where(up, cfg.rho_scale,
+                            jnp.where(down, 1.0 / cfg.rho_scale, 1.0))
+            rho = rho * fac
+            W = W / fac
+        return MMMFState(X=X, Z=Z, W=W), rho, it + 1, resid
 
-    init = (state, jnp.int32(0), jnp.asarray(jnp.inf, Y.dtype))
-    st, it, _ = jax.lax.while_loop(cond, body, init)
-    return st, it
+    init = (state, rho0, jnp.int32(0), jnp.asarray(jnp.inf, Y.dtype))
+    st, _, it, _ = jax.lax.while_loop(cond, body, init)
+
+    # Failure recovery (SURVEY.md §5.3): a non-finite iterate — e.g. a NaN
+    # carried in from a poisoned warm-start state — makes the residual NaN,
+    # so the loop exits immediately and every subsequent warm start would
+    # inherit the poison. Detect it and re-solve cold from zeros.
+    bad = ~jnp.isfinite(
+        jnp.sum(st.X) + jnp.sum(st.Z) + jnp.sum(st.W)
+    )
+
+    def _cold(_):
+        z = init_state(n, m, Y.dtype)
+        cst, _, cit, _ = jax.lax.while_loop(
+            cond, body, (z, rho0, jnp.int32(0), jnp.asarray(jnp.inf, Y.dtype))
+        )
+        return cst, cit
+
+    return jax.lax.cond(bad, _cold, lambda _: (st, it), None)
 
 
 def factors(X: jax.Array, rank: Optional[int] = None) -> Tuple[jax.Array, jax.Array]:

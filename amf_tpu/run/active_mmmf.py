@@ -27,6 +27,9 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--float32", action="store_true")
     parser.add_argument("--admm-iters", type=int, default=2000)
+    parser.add_argument("--admm-tol", type=float, default=None,
+                        help="ADMM residual tolerance (default 1e-6 f64, "
+                             "1e-5 f32 — near the f32 residual floor)")
     parser.add_argument("--mode", choices=("avg", "max"), default="avg",
                         help="solveD maxoravg mode: 'avg' nuclear norm, "
                              "'max' max-norm (solveD.m:37-45)")
@@ -88,7 +91,10 @@ def main(argv=None):
     results = run_active_mmmf(
         problem, y, key_names,
         C=args.C, steps=args.steps, seed=args.seed,
-        cfg=MMMFConfig(C=args.C, max_iters=args.admm_iters),
+        cfg=MMMFConfig(
+            C=args.C, max_iters=args.admm_iters,
+            tol=args.admm_tol or (1e-5 if args.float32 else 1e-6),
+        ),
         mode=args.mode,
         dtype=dtype, keep_predictions=args.keep_predictions,
         verbose=args.verbose,

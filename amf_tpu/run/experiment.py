@@ -193,8 +193,10 @@ def catalog() -> Dict[str, Experiment]:
                 "random", "pred-variance",
             ],
             "mmmf": [
+                # f32 on-chip: at 472x413 the f64 path is CPU-pinned (no f64
+                # linalg on TPU) and needs days per full 5-selector sweep
                 "amf_tpu.run.active_mmmf", "--load-data", "{data}",
-                "-C", "1", "--cutoff", "3.5", "--steps", "200",
+                "-C", "1", "--cutoff", "3.5", "--steps", "200", "--float32",
                 "--checkpoint", "{out}/ckpt_mmmf.pkl",
                 "--save-results", "{out}/results_mmmf.pkl", "--no-verbose",
             ],
@@ -277,7 +279,7 @@ def catalog() -> Dict[str, Experiment]:
             ],
             "mmmf": [
                 "amf_tpu.run.active_mmmf", "--load-data", "{data}",
-                "-C", "1", "--cutoff", "3.5", "--steps", "200",
+                "-C", "1", "--cutoff", "3.5", "--steps", "200", "--float32",
                 "--checkpoint", "{out}/ckpt_mmmf.pkl",
                 "--save-results", "{out}/results_mmmf.pkl", "--no-verbose",
             ],
