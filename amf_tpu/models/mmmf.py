@@ -140,7 +140,11 @@ def solve(
         return MMMFState(X=X, Z=Z, W=W), rho, it + 1, resid
 
     init = (state, rho0, jnp.int32(0), jnp.asarray(jnp.inf, Y.dtype))
-    st, _, it, _ = jax.lax.while_loop(cond, body, init)
+    st, rho_end, it, _ = jax.lax.while_loop(cond, body, init)
+    # express the scaled dual at the NOMINAL rho on exit (u = rho_end * W):
+    # rho0 * W stays the true dual u, so the KKT certificate and the next
+    # warm start (which re-enters at rho0) both read W consistently
+    st = st.replace(W=st.W * (rho_end / rho0))
 
     # Failure recovery (SURVEY.md §5.3): a non-finite iterate — e.g. a NaN
     # carried in from a poisoned warm-start state — makes the residual NaN,
@@ -152,10 +156,10 @@ def solve(
 
     def _cold(_):
         z = init_state(n, m, Y.dtype)
-        cst, _, cit, _ = jax.lax.while_loop(
+        cst, crho, cit, _ = jax.lax.while_loop(
             cond, body, (z, rho0, jnp.int32(0), jnp.asarray(jnp.inf, Y.dtype))
         )
-        return cst, cit
+        return cst.replace(W=cst.W * (crho / rho0)), cit
 
     return jax.lax.cond(bad, _cold, lambda _: (st, it), None)
 

@@ -76,6 +76,50 @@ def test_admm_matches_independent_proximal_descent(rng):
     assert f_admm == pytest.approx(f_prox, rel=0.02)
 
 
+def test_svt_eigh_matches_svd(rng):
+    """The eigh-of-Gram SVT (robust to the gesdd non-convergence that
+    poisoned the newmovies-20d mmmf run) must equal the textbook SVD form."""
+    for shape in ((17, 11), (11, 17), (13, 13)):
+        a = jnp.asarray(rng.normal(size=shape) * 3)
+        for tau in (0.3, 1.0, 4.0):
+            u, s, vt = jnp.linalg.svd(a, full_matrices=False)
+            ref = (u * jnp.maximum(s - tau, 0.0)[None, :]) @ vt
+            got = mmmf._svt(a, tau)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-10)
+
+
+def test_solve_recovers_from_poisoned_warm_start(rng):
+    """A NaN anywhere in the warm-start state makes the residual NaN and
+    exits the loop after one iteration; the guard must re-solve cold instead
+    of returning the poison (the newmovies-20d failure mode)."""
+    y, y_obs = _toy_labels(rng)
+    cfg = mmmf.MMMFConfig(C=1.0, max_iters=4000, tol=1e-8)
+    clean, _ = mmmf.solve(jnp.asarray(y_obs), cfg)
+    bad = clean.replace(X=clean.X.at[0, 0].set(jnp.nan))
+    healed, iters = mmmf.solve(jnp.asarray(y_obs), cfg, bad)
+    assert np.isfinite(np.asarray(healed.X)).all()
+    f_clean = float(mmmf.objective(clean.X, jnp.asarray(y_obs), cfg.C))
+    f_heal = float(mmmf.objective(healed.X, jnp.asarray(y_obs), cfg.C))
+    assert f_heal == pytest.approx(f_clean, rel=1e-4)
+
+
+def test_adaptive_rho_same_optimum_consistent_dual(rng):
+    """Residual balancing must land on the same optimum as fixed rho, and
+    the exit-rescaled dual (rho0 * W) must still satisfy the nuclear-norm
+    subgradient bound used by the KKT certificate."""
+    y, y_obs = _toy_labels(rng, n=10, m=8)
+    fixed = mmmf.MMMFConfig(C=1.0, adapt_rho=False, max_iters=8000, tol=1e-9)
+    adapt = mmmf.MMMFConfig(C=1.0, adapt_rho=True, max_iters=8000, tol=1e-9)
+    st_f, it_f = mmmf.solve(jnp.asarray(y_obs), fixed)
+    st_a, it_a = mmmf.solve(jnp.asarray(y_obs), adapt)
+    f_f = float(mmmf.objective(st_f.X, jnp.asarray(y_obs), 1.0))
+    f_a = float(mmmf.objective(st_a.X, jnp.asarray(y_obs), 1.0))
+    assert f_a == pytest.approx(f_f, rel=1e-4)
+    G = np.asarray(st_a.W) * adapt.rho  # nominal-rho dual
+    assert np.linalg.svd(G, compute_uv=False).max() <= 1.0 + 1e-3
+
+
 def test_separable_data_perfect_classification(rng):
     y, y_obs = _toy_labels(rng, n=10, m=10, rank=1, frac=0.7)
     cfg = mmmf.MMMFConfig(C=10.0, max_iters=4000, tol=1e-8)
