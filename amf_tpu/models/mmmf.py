@@ -114,7 +114,9 @@ def solve(
     n, m = Y.shape
     if state is None:
         state = init_state(n, m, Y.dtype)
-    scale = jnp.maximum(jnp.sqrt(jnp.sum(observed)), 1.0)
+    scale = jnp.maximum(
+        jnp.sqrt(jnp.sum(observed, dtype=Y.dtype)), jnp.ones((), Y.dtype)
+    )
     rho0 = jnp.asarray(cfg.rho, Y.dtype)
 
     def cond(carry):
@@ -133,8 +135,9 @@ def solve(
             # residual balancing; the scaled dual W = u/rho rescales with rho
             up = primal > cfg.balance_mu * dual
             down = dual > cfg.balance_mu * primal
-            fac = jnp.where(up, cfg.rho_scale,
-                            jnp.where(down, 1.0 / cfg.rho_scale, 1.0))
+            one = jnp.ones((), Y.dtype)
+            fac = jnp.where(up, cfg.rho_scale * one,
+                            jnp.where(down, one / cfg.rho_scale, one))
             rho = rho * fac
             W = W / fac
         return MMMFState(X=X, Z=Z, W=W), rho, it + 1, resid
