@@ -41,6 +41,7 @@ from amf_tpu.analysis.results import (
     first_step_evals,
     guess_kind,
     load_results,
+    results_from_digest,
     rmse_curve,
 )
 
@@ -487,14 +488,36 @@ def check_experiment_dir(outdir: str,
     by_kind: Dict[str, Dict] = {}
     adjudicated = load_adjudications(outdir)
     seed_pass = _seed_passing_bands(outdir)
-    for path in sorted(glob.glob(os.path.join(outdir, "results_*.pkl"))):
-        res = load_results(path)
+    # raw results pickles are gitignored and may be absent on a fresh
+    # checkout (or after a cleanup); committed digest_*.json.gz files are
+    # the durable artifact — fall back to them so the acceptance bands are
+    # reproducible from committed artifacts alone
+    sources: List[Tuple[str, str]] = [
+        (p, "pickle")
+        for p in sorted(glob.glob(os.path.join(outdir, "results_*.pkl")))
+    ]
+    pkl_stems = {
+        os.path.basename(p)[len("results_"):-len(".pkl")]
+        for p, _ in sources
+    }
+    for dpath in sorted(glob.glob(os.path.join(outdir, "digest_*.json.gz"))):
+        stem = os.path.basename(dpath)[len("digest_"):-len(".json.gz")]
+        if stem not in pkl_stems:
+            sources.append((dpath, "digest"))
+
+    for path, src in sources:
+        if src == "digest":
+            with gzip.open(path, "rt") as f:
+                res = results_from_digest(json.load(f))
+            stem = os.path.basename(path)[len("digest_"):-len(".json.gz")]
+        else:
+            res = load_results(path)
+            stem = os.path.basename(path)[len("results_"):-len(".pkl")]
         kind = guess_kind(res)
         # first file of a kind wins for cross-engine comparison (sorted
         # order puts results_bayes.pkl before results_bayes_la.pkl — the
         # main run, not an auxiliary one)
         by_kind.setdefault(kind, res)
-        stem = os.path.basename(path)[len("results_"):-len(".pkl")]
         floored = {
             crit: fname for (k, crit), fname in adjudicated.items()
             if k in (None, kind)
@@ -502,6 +525,8 @@ def check_experiment_dir(outdir: str,
         for row in check_results(res, kind, strict_active=strict_active,
                                  noise_floored=floored):
             row["run"] = stem
+            if src == "digest":
+                row["source"] = "digest"
             if (row["status"] == "fail"
                     and (stem, row["key"]) in seed_pass):
                 row["status"] = "warn"
@@ -509,6 +534,8 @@ def check_experiment_dir(outdir: str,
                     "; single-seed draw — the seed-mean band passes "
                     f"({seed_pass[(stem, row['key'])]})")
             rows.append(row)
+        if src == "digest":
+            continue  # never overwrite a committed digest with a round-trip
         dg = digest(res, kind)
         # digest named after the results file (not the kind): one dir can
         # hold several runs of the same kind (e.g. results_bayes +

@@ -65,6 +65,57 @@ def load_results(path: str, kind: Optional[str] = None) -> Dict:
     return out
 
 
+def results_from_digest(dg: Dict) -> Dict:
+    """Reconstruct a results-shaped dict from a committed digest.
+
+    Raw results pickles are gitignored (GBs of per-step eval grids) — the
+    committed artifact is ``digest_<run>.json.gz``. This adapter rebuilds
+    enough of the pickle schema from a digest that every acceptance band in
+    ``analysis.parity`` (structural, learning, active-vs-random, discovery,
+    cross-engine tau) can re-run from committed artifacts alone:
+
+    - record tuples ``(n_rated, err, pick, evals)``, with the stored
+      first-step criterion map reattached to the first post-initial record;
+    - a NaN-filled ``_real`` carrying exactly the recorded true pick values
+      (``pick_vals``), so discovery counts recompute identically — never-
+      picked cells stay NaN and count as unknowable, as in ``_pick_vals``.
+    """
+    crits = dg.get("criteria", {})
+    max_i = max_j = 0
+    for c in crits.values():
+        for p in c.get("picks", ()):
+            if p is not None:
+                max_i = max(max_i, int(p[0]))
+                max_j = max(max_j, int(p[1]))
+    real = np.full((max_i + 1, max_j + 1), np.nan)
+    out: Dict[str, object] = {
+        "_kind": dg.get("kind"),
+        "_rating_vals": (
+            tuple(dg["rating_vals"]) if dg.get("rating_vals") else None
+        ),
+        "_args": dg.get("args", {}),
+        "_from_digest": True,
+    }
+    kind = dg.get("kind")
+    for short, c in crits.items():
+        fse = c.get("first_step_evals")
+        recs: List[tuple] = []
+        pick_vals = c.get("pick_vals") or [None] * len(c["n_rated"])
+        for t, (nr, err) in enumerate(zip(c["n_rated"], c["err"])):
+            p = c["picks"][t]
+            pick = None if p is None else (int(p[0]), int(p[1]))
+            if pick is not None and pick_vals[t] is not None:
+                real[pick] = float(pick_vals[t])
+            evals = None
+            if t == 1 and fse is not None:
+                evals = np.asarray(fse, np.float64)
+            recs.append((int(nr), float(err), pick, evals))
+        key = short if kind in (None, "apmf") else f"{kind}_{short}"
+        out[key] = recs
+    out["_real"] = real
+    return out
+
+
 def merge_results(base: Dict, extra: Dict) -> Dict:
     """Merge criterion records from another results file (the reference
     merges MMMF/RC outputs into a shared pickle, active_mmmf.py:240-245)."""

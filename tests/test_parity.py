@@ -158,3 +158,34 @@ def test_cross_engine_tau():
     rows = parity.check_cross_engine({"bayes": a, "stan": b})
     tau_rows = [r for r in rows if "pred-variance" in r["key"]]
     assert tau_rows and tau_rows[0]["status"] == "pass", rows
+
+
+def test_check_rows_reproducible_from_digest(tmp_path):
+    """Raw pickles are gitignored; the committed digest must reproduce the
+    acceptance rows EXACTLY (check_experiment_dir falls back to
+    digest_*.json.gz when results_*.pkl is absent)."""
+    import gzip
+    import json
+    import pickle
+
+    from amf_tpu.analysis.results import results_from_digest
+
+    res = _fake_results([1.0, 0.8, 0.6, 0.5])
+    # rows computed from the pickle
+    with open(tmp_path / "results_apmf.pkl", "wb") as f:
+        pickle.dump(res, f)
+    rows_pkl, ok_pkl = parity.check_experiment_dir(str(tmp_path))
+    assert ok_pkl
+    # delete the pickle; the digest written by the first check remains
+    (tmp_path / "results_apmf.pkl").unlink()
+    rows_dg, ok_dg = parity.check_experiment_dir(str(tmp_path))
+    assert ok_dg
+    assert len(rows_dg) == len(rows_pkl)
+    for a, b in zip(rows_pkl, rows_dg):
+        assert b.pop("source") == "digest"
+        assert a == b
+    # and the committed digest is never overwritten by a round-trip
+    with gzip.open(tmp_path / "digest_apmf.json.gz", "rt") as f:
+        dg = json.load(f)
+    rt = results_from_digest(dg)
+    assert rt["_from_digest"] and "pred-variance" in rt
