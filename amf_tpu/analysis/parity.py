@@ -239,11 +239,24 @@ def check_results(results: Dict, kind: Optional[str] = None,
                 for r in recs
             )
         )
+        # A [0,1]-bounded (misclassification) trace pinned at exactly 1.0
+        # means EVERY test cell is scored wrong — unreachable by any real
+        # predictor (coin-flipping scores ~0.5); it is the signature of
+        # sign(NaN) poisoning (the gesdd-SVT failure that invalidated the
+        # first newmovies-20d mmmf recording). Structural failure.
+        sat = np.asarray(errs) >= 1.0 - 1e-12
+        pinned = bool(
+            np.max(errs) <= 1.0 + 1e-12 and sat[-1] and sat.sum() >= 3
+        )
+        detail = (f"{len(recs)} records, err[0]={errs[0]:.4f}, "
+                  f"err[-1]={errs[-1]:.4f}")
+        if pinned:
+            detail += (" — PINNED at 1.0 misclassification "
+                       "(all cells wrong: NaN/sign pathology)")
         rows.append({
             "check": "structural", "key": short,
-            "status": "pass" if ok else "fail",
-            "detail": f"{len(recs)} records, err[0]={errs[0]:.4f}, "
-                      f"err[-1]={errs[-1]:.4f}",
+            "status": "pass" if ok and not pinned else "fail",
+            "detail": detail,
         })
 
     for short, (ns, errs) in curves.items():
@@ -257,7 +270,9 @@ def check_results(results: Dict, kind: Optional[str] = None,
             errs[-1] <= curves["random"][1][-1] * (1 + random_slack)
         )
         if improved:
-            status, note = "pass", "improved"
+            status = "pass"
+            note = ("improved" if errs[-1] <= errs[0]
+                    else "flat within improve slack")
         elif worsened and strict_active:
             # on strict workloads a rising error curve is a defect, not a
             # regime — no random-slack escape hatch

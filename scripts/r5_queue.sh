@@ -14,7 +14,10 @@ cd "$(dirname "$0")/.."
 mkdir -p experiments/logs
 export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 QLOG=experiments/logs/r5_queue.log
-ERA="2026-08-18 13:00"   # start of the fixed-sampler re-record era (r4c)
+ERA="2026-08-18 13:00"       # start of the fixed-sampler re-record era (r4c)
+MMMF_ERA="2026-08-18 22:36"  # eigh-SVT solver fix commit 207ba42 (22:35:48);
+                             # the 20:02 newmovies-20d results and 21:30
+                             # 58k-15d ckpt predate it and are NaN-poisoned
 
 # if a live r4 queue is still running (same-session relaunch), wait for it
 for f in /tmp/r4c.pid /tmp/r4d.pid /tmp/r4e.pid /tmp/r4f.pid; do
@@ -53,21 +56,21 @@ run() {
   return $rc
 }
 
-fresh() {  # fresh <file>: true if file exists and postdates the era cutoff
-  [[ -n "$(find "$1" -newermt "$ERA" 2>/dev/null)" ]]
+fresh() {  # fresh <file> <cutoff>: true if file exists and postdates cutoff
+  [[ -n "$(find "$1" -newermt "$2" 2>/dev/null)" ]]
 }
 
-# rerecord <tag> <dir> <kind> [extra experiment args...]
+# rerecord <tag> <dir> <kind> <era-cutoff> [extra experiment args...]
 rerecord() {
-  local tag="$1" dir="$2" kind="$3"; shift 3
+  local tag="$1" dir="$2" kind="$3" era="$4"; shift 4
   local res="experiments/$dir/results_${kind}.pkl"
   local ckpt="experiments/$dir/ckpt_${kind}.pkl"
-  if fresh "$res"; then
+  if fresh "$res" "$era"; then
     echo "=== $tag: $res already re-recorded; skipping" | tee -a "$QLOG"
   else
     rm -f "$res"
-    if [[ -e "$ckpt" ]] && ! fresh "$ckpt"; then
-      rm -f "$ckpt"   # pre-era checkpoint would resume the frozen-era run
+    if [[ -e "$ckpt" ]] && ! fresh "$ckpt" "$era"; then
+      rm -f "$ckpt"   # pre-era checkpoint would resume the broken-era run
     fi
     run "$tag" python -m amf_tpu.run.experiment "$dir" --only "$kind" "$@"
   fi
@@ -75,9 +78,9 @@ rerecord() {
 }
 
 # ---- r4c remainder: stan re-records with the fixed ESJD sampler ----
-rerecord db94_stan    drugbank-94x425                  stan
-rerecord db5to1_stan  drugbank-94x425-5to1             stan
-rerecord 100k_stan    movielens-100k-from5pct-test5pct stan
+rerecord db94_stan    drugbank-94x425                  stan "$ERA"
+rerecord db5to1_stan  drugbank-94x425-5to1             stan "$ERA"
+rerecord 100k_stan    movielens-100k-from5pct-test5pct stan "$ERA"
 
 # ---- r4d: era-consistent 58k-15d random arm splice ----
 D=experiments/movielens-58k-from5pct-test5pct-15d
@@ -105,8 +108,8 @@ else
 fi
 
 # ---- r4e: mmmf re-records with the repaired (eigh-SVT) solver ----
-rerecord newmovies20d_mmmf movielens-58k-newmovies-10pct-20d mmmf
-rerecord 58k15d_mmmf       movielens-58k-from5pct-test5pct-15d mmmf
+rerecord newmovies20d_mmmf movielens-58k-newmovies-10pct-20d   mmmf "$MMMF_ERA"
+rerecord 58k15d_mmmf       movielens-58k-from5pct-test5pct-15d mmmf "$MMMF_ERA"
 
 # where do the Gibbs 12 ms/round actually go? (decides chain-fusion effort)
 if [[ ! -f experiments/logs/r5_gibbs_chain_probe.log ]]; then

@@ -136,6 +136,38 @@ def test_check_results_structural_fail_on_nan():
     )
 
 
+def test_structural_fail_on_pinned_misclassification():
+    # a misclass trace pinned at exactly 1.0 (all test cells wrong) is the
+    # sign(NaN) poisoning signature — unreachable by a real predictor — and
+    # must fail structurally even though every value is finite
+    res = _fake_results([0.49, 1.0, 1.0, 1.0, 1.0], key="mmmf_min-margin",
+                        kind="mmmf")
+    rows = parity.check_results(res, "mmmf")
+    r = [x for x in rows if x["check"] == "structural"
+         and x["key"] == "min-margin"][0]
+    assert r["status"] == "fail"
+    assert "PINNED" in r["detail"]
+    # but a bounded trace that merely touches 1.0 once stays structural-pass
+    res2 = _fake_results([1.0, 0.8, 0.6, 0.5], key="mmmf_min-margin",
+                         kind="mmmf")
+    rows2 = parity.check_results(res2, "mmmf")
+    r2 = [x for x in rows2 if x["check"] == "structural"
+          and x["key"] == "min-margin"][0]
+    assert r2["status"] == "pass"
+
+
+def test_learning_label_distinguishes_flat_from_improved():
+    # errs[-1] slightly above errs[0] but within improve_slack: pass, yet the
+    # label must not claim "improved"
+    rows = parity.check_results(_fake_results([1.0, 0.99, 1.01]), "apmf")
+    r = [x for x in rows if x["check"] == "learning"][0]
+    assert r["status"] == "pass"
+    assert "flat within improve slack" in r["detail"]
+    rows = parity.check_results(_fake_results([1.0, 0.9, 0.8]), "apmf")
+    r = [x for x in rows if x["check"] == "learning"][0]
+    assert "improved" in r["detail"]
+
+
 def test_digest_strips_eval_grids():
     res = _fake_results([1.0, 0.8, 0.6])
     dg = parity.digest(res, "apmf")
