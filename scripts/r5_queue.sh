@@ -123,6 +123,13 @@ if [[ ! -f experiments/drugbank-70x306-gibbs/adjudication_noise_floor_expvar.jso
 fi
 run 10x10d4_apmf python -m amf_tpu.run.experiment 10x10_discrete4_d4 --only apmf
 
+# db94 stan 4-seed replicates: decide the pred-variance strict-band failure
+# (adjudication_learning_drift.json — drift at the misclass noise floor vs
+# real criterion pathology; seed-mean bands are the decisive evidence)
+run db94_stan_seeds python -m amf_tpu.run.experiment drugbank-94x425 \
+  --seeds 4 --only stan
+run db94_seeds_check python -m amf_tpu.run.experiment drugbank-94x425 --check
+
 # final all-dirs acceptance sweep
 for e in 10x10_discrete2_d2 10x10_discrete4_d4 criteria_10x10_r1 \
          movielens-100k-from5pct-test5pct movielens-75k-from5pct-test5pct \
