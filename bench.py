@@ -306,16 +306,27 @@ def main():
     e2e, dev, pool_rate, procs = bench_gibbs_exp_variance(
         jax, jnp, prob, VALS)
 
-    vn_rate = bench_vn_total_variance(jax, jnp)
+    # Secondary rows must never kill the headline JSON: the vn refit
+    # lookahead has faulted the TPU worker on the real chip (UNAVAILABLE
+    # device error; trivial ops fine — scripts/probe_vn_fault.py bisects
+    # the stage). Record the fault instead of crashing.
+    fault_notes = {}
+    try:
+        vn_rate = bench_vn_total_variance(jax, jnp)
+    except Exception as e:  # noqa: BLE001 — device faults surface as varied types
+        vn_rate = None
+        fault_notes["vn_total_variance"] = f"{type(e).__name__}: {e}"[:200]
 
+    pk_rate = None  # Pallas TPU kernel: no host lowering on CPU
     if accel:
-        pcfg = pmf.PMFConfig(latent_d=D, max_fit_steps=200)
-        pst = pmf.init_state(jax.random.PRNGKey(0), N, M, pcfg, prob,
-                             dtype=jnp.float32)
-        pst, _ = pmf.fit(pst, prob, pcfg)
-        pk_rate = bench_pmf_refit_kernel(jax, jnp, prob, pst, pcfg)
-    else:
-        pk_rate = None  # Pallas TPU kernel: no host lowering
+        try:
+            pcfg = pmf.PMFConfig(latent_d=D, max_fit_steps=200)
+            pst = pmf.init_state(jax.random.PRNGKey(0), N, M, pcfg, prob,
+                                 dtype=jnp.float32)
+            pst, _ = pmf.fit(pst, prob, pcfg)
+            pk_rate = bench_pmf_refit_kernel(jax, jnp, prob, pst, pcfg)
+        except Exception as e:  # noqa: BLE001
+            fault_notes["pmf_refit_kernel"] = f"{type(e).__name__}: {e}"[:200]
 
     print(json.dumps({
         "metric": "gibbs_exp_variance_scores_per_sec",
@@ -329,9 +340,11 @@ def main():
         "device_only_scores_per_sec": round(dev, 2),
         "workload": f"{N}x{M} d={D} 5-value lookahead, "
                     f"{LA_SAMPS}-sample chains",
-        "vn_total_variance_scores_per_sec": round(vn_rate, 2),
+        "vn_total_variance_scores_per_sec": (
+            round(vn_rate, 2) if vn_rate is not None else None),
         "pmf_refit_kernel_scores_per_sec": (
             round(pk_rate, 2) if pk_rate is not None else None),
+        **({"secondary_bench_faults": fault_notes} if fault_notes else {}),
     }))
 
 
