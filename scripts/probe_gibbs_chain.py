@@ -14,6 +14,10 @@ Usage: python scripts/probe_gibbs_chain.py [rounds] (default 128)
 import sys
 import time
 
+from amf_tpu.utils.platform import setup as platform_setup
+
+platform_setup(use_x64=False)
+
 import jax
 import jax.numpy as jnp
 import numpy as np
