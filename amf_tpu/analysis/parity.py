@@ -141,6 +141,15 @@ def digest(results: Dict, kind: Optional[str] = None) -> Dict:
         },
         "criteria": {},
     }
+    # engine-era provenance: lets cross-session re-record queues decide
+    # whether a committed digest was produced by current engine code
+    # (raw pickles are gitignored, so the digest is the durable record)
+    if kind in ("stan", "stan_newitems"):
+        from amf_tpu.mcmc.nuts import SAMPLER_ERA
+        out["sampler_era"] = SAMPLER_ERA
+    elif kind == "mmmf":
+        from amf_tpu.models.mmmf import SOLVER_ERA
+        out["solver_era"] = SOLVER_ERA
     for key, recs in results.items():
         if key.startswith("_") or not isinstance(recs, list):
             continue

@@ -33,6 +33,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Provenance tag stamped into experiment digests (analysis.parity.digest):
+# identifies which warmup controller generated a recorded NUTS run. Bump
+# whenever an adaptation change alters sampling behavior — cross-session
+# re-record queues key on it (scripts/r6_queue.sh). "esjd-leapfrog-v1" is
+# the windowed jump-squared-per-leapfrog grid controller (BENCHMARKS.md
+# "NUTS mixing at MovieLens scale"); digests without the field predate it
+# (frozen-chain dual-averaging era).
+SAMPLER_ERA = "esjd-leapfrog-v1"
+
 
 class NUTSConfig(NamedTuple):
     max_depth: int = 10

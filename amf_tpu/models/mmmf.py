@@ -31,6 +31,12 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+# Provenance tag stamped into experiment digests (analysis.parity.digest).
+# "eigh-svt-v1" = the repaired ADMM solver (eigh-based SVT + cold-restart
+# guard + adaptive rho); digests without the field predate the fix for the
+# gesdd-NaN warm-start poisoning (PARITY.md adjudication 4).
+SOLVER_ERA = "eigh-svt-v1"
+
 
 class MMMFConfig(NamedTuple):
     C: float = 1.0  # slack penalty (reference default in evaluate_active.m)

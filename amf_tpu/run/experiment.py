@@ -482,7 +482,13 @@ def main(argv=None):
     parser.add_argument("--steps", type=int, default=None,
                         help="override the step budget of every run")
     parser.add_argument("--force", action="store_true",
-                        help="rerun even if the result file exists")
+                        help="rerun even if the result file exists "
+                             "(deletes stale checkpoints: starts fresh)")
+    parser.add_argument("--redo", action="store_true",
+                        help="rerun arms whose committed digest exists but "
+                             "whose raw results pickle is gone (pickles are "
+                             "gitignored and do not survive a fresh "
+                             "checkout); resumes checkpoints, unlike --force")
     parser.add_argument("--seeds", type=int, default=None, metavar="N",
                         help="run N seed replicates under <out>/seed<k>/ "
                              "(k=1..N), varying both the data draw and the "
@@ -561,6 +567,33 @@ def main(argv=None):
     print(f"\nexperiment {exp.name} complete; results under {out}/")
 
 
+def digest_path_for(result_path: str) -> str:
+    """Committed digest path for a results pickle (analysis.parity naming)."""
+    stem = os.path.basename(result_path)[len("results_"):-len(".pkl")]
+    return os.path.join(os.path.dirname(result_path),
+                        f"digest_{stem}.json.gz")
+
+
+def _skip_reason(result_path: Optional[str], force: bool,
+                 redo: bool) -> Optional[str]:
+    """Why an arm should be skipped, or None to run it.
+
+    Two durability tiers: the raw results pickle (same-session evidence;
+    gitignored, lost on a fresh checkout) and the committed digest (the
+    cross-session record of a completed arm). --force reruns regardless;
+    --redo reruns digest-only arms (a deliberate re-record) but still
+    respects an existing pickle.
+    """
+    if not result_path or force:
+        return None
+    if os.path.exists(result_path):
+        return f"exists: {result_path} (skipping; --force to rerun)"
+    dpath = digest_path_for(result_path)
+    if not redo and os.path.exists(dpath):
+        return f"digest exists: {dpath} (skipping; --redo to re-record)"
+    return None
+
+
 def _run_experiment_once(exp: Experiment, out: str, args, seed=None) -> None:
     """Data prep + model runs for one (experiment, seed) replicate."""
     # choose_training saves via np.savez_compressed, which appends .npz to
@@ -591,8 +624,10 @@ def _run_experiment_once(exp: Experiment, out: str, args, seed=None) -> None:
         result_path = next(
             (c for c in cmd if c.endswith(".pkl") and "results" in c), None
         )
-        if result_path and os.path.exists(result_path) and not args.force:
-            print(f"[{kind}] exists: {result_path} (skipping; --force to rerun)")
+        skip = _skip_reason(result_path, force=args.force,
+                            redo=getattr(args, "redo", False))
+        if skip:
+            print(f"[{kind}] {skip}")
             continue
         if args.force:
             # a stale checkpoint would silently resume the OLD run and

@@ -1,27 +1,29 @@
 #!/usr/bin/env bash
-# Hardened continuation of scripts/r5_queue.sh: identical job list (all jobs
-# are skip-if-fresh idempotent, so relaunching re-derives the remaining work),
-# plus two defenses the round-3 postmortem showed are needed for an
-# unattended multi-hour chip queue:
+# Chip-queue continuation — the remaining reference-workload arms, in
+# priority order. Rewritten from r5_queue.sh for CROSS-SESSION reality:
+# raw results/ckpt/data files are gitignored and do NOT survive a fresh
+# checkout, so (a) "is this arm done?" is decided by the COMMITTED digest
+# (amf_tpu.run.experiment now skips digest-complete arms; --redo forces a
+# re-record of the two old-sampler-era stan digests), (b) mtime-vs-era
+# freshness checks are meaningless and are gone, and (c) the 58k random-arm
+# repair merges at the DIGEST level (scripts/splice_digest_key.py) — the
+# pickle it used to merge into no longer exists.
 #
-#   1. STALL WATCHDOG: a job whose log AND experiment artifacts stop changing
-#      for >15 min is killed (explicit PID) and the queue re-probes the
-#      tunnel before moving on. Round 3 observed a client blocked forever in
-#      a remote call (67 min, dead relay) — without this, one hang stalls
-#      the whole queue for the rest of a session.
-#   2. STOP SENTINEL: `touch /tmp/queue_stop` makes the queue exit cleanly
-#      BEFORE starting the next job (current job finishes/checkpoints).
-#      Remove the sentinel before relaunching.
+# Defenses from the round-3 postmortem:
+#   1. STALL WATCHDOG: a job whose log AND experiment artifacts stop
+#      changing for >15 min is killed (explicit PID; round 3 saw a client
+#      blocked 67 min on a dead relay) and the tunnel is re-probed.
+#   2. STOP SENTINEL: `touch /tmp/queue_stop` exits cleanly BEFORE the next
+#      job starts (current job finishes/checkpoints). Remove to relaunch.
 #
-# State machine per stan re-record arm (ESJD-sampler era started 2026-08-18
-# 13:00 UTC; MMMF eigh-SVT era 22:36): see r5_queue.sh for the rationale.
+# Launch:
+#   rm -f /tmp/queue_stop
+#   nohup bash scripts/r6_queue.sh > /tmp/r6_stdout.log 2>&1 & echo $! > /tmp/r6.pid
 set -uo pipefail
 cd "$(dirname "$0")/.."
 mkdir -p experiments/logs
 export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 QLOG=experiments/logs/r6_queue.log
-ERA="2026-08-18 13:00"       # fixed-sampler re-record era (r4c)
-MMMF_ERA="2026-08-18 22:36"  # eigh-SVT solver fix commit 207ba42
 STALL_SEC=900
 
 # if an earlier queue generation is still running, wait for it
@@ -85,37 +87,45 @@ run() {
   return $rc
 }
 
-fresh() {  # fresh <file> <cutoff>: true if file exists and postdates cutoff
-  [[ -n "$(find "$1" -newermt "$2" 2>/dev/null)" ]]
-}
+EXP="python -m amf_tpu.run.experiment"
 
-# rerecord <tag> <dir> <kind> <era-cutoff> [extra experiment args...]
-rerecord() {
-  local tag="$1" dir="$2" kind="$3" era="$4"; shift 4
-  local res="experiments/$dir/results_${kind}.pkl"
-  local ckpt="experiments/$dir/ckpt_${kind}.pkl"
-  if fresh "$res" "$era"; then
-    echo "=== $tag: $res already re-recorded; skipping" | tee -a "$QLOG"
+# ---- 1. stan re-records with the fixed ESJD sampler --------------------
+# These two digests are the last ones recorded with the frozen-sampler-era
+# NUTS (see BENCHMARKS.md "NUTS mixing"); --redo re-records them (resuming
+# any same-session checkpoint). db94/58k/75k/newmovies stan digests are
+# already fixed-era — the digest skip leaves them alone.
+for arm in "db5to1_stan drugbank-94x425-5to1" \
+           "100k_stan movielens-100k-from5pct-test5pct"; do
+  set -- $arm
+  if python - "$2" <<'PY'
+import gzip, json, sys
+try:
+    with gzip.open(f"experiments/{sys.argv[1]}/digest_stan.json.gz", "rt") as f:
+        dg = json.load(f)
+    sys.exit(0 if str(dg.get("sampler_era", "")).startswith("esjd") else 1)
+except FileNotFoundError:
+    sys.exit(1)
+PY
+  then
+    echo "=== $1: digest already ESJD-era; skipping" | tee -a "$QLOG"
   else
-    rm -f "$res"
-    if [[ -e "$ckpt" ]] && ! fresh "$ckpt" "$era"; then
-      rm -f "$ckpt"   # pre-era checkpoint would resume the broken-era run
-    fi
-    run "$tag" python -m amf_tpu.run.experiment "$dir" --only "$kind" "$@"
+    run "$1" $EXP "$2" --only stan --redo
   fi
-  run "${tag}_check" python -m amf_tpu.run.experiment "$dir" --check
-}
+  run "$1_check" $EXP "$2" --check
+done
 
-# ---- stan re-records with the fixed ESJD sampler ----
-rerecord db94_stan    drugbank-94x425                  stan "$ERA"
-rerecord db5to1_stan  drugbank-94x425-5to1             stan "$ERA"
-rerecord 100k_stan    movielens-100k-from5pct-test5pct stan "$ERA"
-
-# ---- era-consistent 58k-15d random arm splice ----
+# ---- 2. era-consistent 58k-15d random arm, spliced at the digest level --
 D=experiments/movielens-58k-from5pct-test5pct-15d
-if [[ -f "$D/.random_spliced" ]]; then
+if python - <<'PY'
+import gzip, json, sys
+with gzip.open("experiments/movielens-58k-from5pct-test5pct-15d/digest_stan.json.gz", "rt") as f:
+    dg = json.load(f)
+sys.exit(0 if "spliced" in dg["criteria"].get("random", {}) else 1)
+PY
+then
   echo "=== 58k random splice already done; skipping" | tee -a "$QLOG"
 else
+  run 58k15d_data $EXP movielens-58k-from5pct-test5pct-15d --only data-prep-only
   run 58k15d_random_fresh python -m amf_tpu.run.bpmf \
     --load-data "$D/data.npz" \
     --latent-d 15 --subtract-mean \
@@ -126,45 +136,51 @@ else
     --note "fresh ESJD-sampler random arm for era-consistent comparison" \
     random
   if [[ -f "$D/results_stan_random_fresh.pkl" ]]; then
-    run 58k15d_random_merge python scripts/merge_result_key.py \
-      "$D/results_stan.pkl" "$D/results_stan_random_fresh.pkl" random \
-      && touch "$D/.random_spliced"
+    run 58k15d_random_splice python scripts/splice_digest_key.py \
+      "$D/digest_stan.json.gz" "$D/results_stan_random_fresh.pkl" random
     run 58k15d_random_tidy rm -f "$D/results_stan_random_fresh.pkl" \
-      "$D/ckpt_stan_random_fresh.pkl" "$D/results_stan.pkl.premerge.bak"
-    run 58k15d_recheck python -m amf_tpu.run.experiment \
-      movielens-58k-from5pct-test5pct-15d --check
+      "$D/ckpt_stan_random_fresh.pkl" "$D/digest_stan.json.gz.presplice.bak"
+    run 58k15d_recheck $EXP movielens-58k-from5pct-test5pct-15d --check
   fi
 fi
 
-# ---- mmmf re-records with the repaired (eigh-SVT) solver ----
-rerecord newmovies20d_mmmf movielens-58k-newmovies-10pct-20d   mmmf "$MMMF_ERA"
-rerecord 58k15d_mmmf       movielens-58k-from5pct-test5pct-15d mmmf "$MMMF_ERA"
+# ---- 3. mmmf re-records with the repaired (eigh-SVT) solver -------------
+# (their poisoned digests were purged, so the digest skip lets these run)
+run newmovies20d_mmmf $EXP movielens-58k-newmovies-10pct-20d --only mmmf
+run newmovies20d_check $EXP movielens-58k-newmovies-10pct-20d --check
+run 58k15d_mmmf $EXP movielens-58k-from5pct-test5pct-15d --only mmmf
+run 58k15d_mmmf_check $EXP movielens-58k-from5pct-test5pct-15d --check
 
-# where do the Gibbs 12 ms/round actually go? (decides chain-fusion effort)
+# ---- 4. where do the Gibbs 12 ms/round go? (decides chain-fusion effort)
 if [[ ! -f experiments/logs/r5_gibbs_chain_probe.log && \
       ! -f experiments/logs/r6_gibbs_chain_probe.log ]]; then
   run gibbs_chain_probe python scripts/probe_gibbs_chain.py 128
 fi
 
-# ---- remainder ----
-run db70_data python -m amf_tpu.run.experiment drugbank-70x306-gibbs --only data-prep-only
+# ---- 5. remainder -------------------------------------------------------
+run db70_data $EXP drugbank-70x306-gibbs --only data-prep-only
 if [[ ! -f experiments/drugbank-70x306-gibbs/adjudication_noise_floor_expvar.json ]]; then
   run db70_expvar_probe python scripts/adjudicate_noise_floor.py expvar
 fi
-run 10x10d4_apmf python -m amf_tpu.run.experiment 10x10_discrete4_d4 --only apmf
+run 10x10d4_apmf $EXP 10x10_discrete4_d4 --only apmf
+run 10x10d4_check $EXP 10x10_discrete4_d4 --check
 
-# db94 stan 4-seed replicates: decide the pred-variance strict-band failure
-run db94_stan_seeds python -m amf_tpu.run.experiment drugbank-94x425 \
-  --seeds 4 --only stan
-run db94_seeds_check python -m amf_tpu.run.experiment drugbank-94x425 --check
+# ---- 6. db94 stan 4-seed replicates: decide the pred-variance strict-band
+# failure (adjudication_learning_drift.json). ~55 min of chip per seed;
+# per-seed digests land at the --check, making completed seeds durable.
+if [[ ! -f experiments/drugbank-94x425/seed4/digest_stan.json.gz ]]; then
+  run db94_stan_seeds $EXP drugbank-94x425 --seeds 4 --only stan
+fi
+run db94_seeds_check $EXP drugbank-94x425 --seeds 4 --check
+run db94_check $EXP drugbank-94x425 --check
 
-# final all-dirs acceptance sweep
+# ---- 7. final all-dirs acceptance sweep ---------------------------------
 for e in 10x10_discrete2_d2 10x10_discrete4_d4 criteria_10x10_r1 \
          movielens-100k-from5pct-test5pct movielens-75k-from5pct-test5pct \
          movielens-58k-from5pct-test5pct-15d movielens-58k-newmovies-10pct-10d \
          movielens-58k-newmovies-10pct-20d drugbank-94x425 \
          drugbank-94x425-5to1 drugbank-70x306-gibbs; do
-  run "check_$e" python -m amf_tpu.run.experiment "$e" --check
+  run "check_$e" $EXP "$e" --check
 done
 
 echo "=== $(date +%H:%M:%S) R6 QUEUE DONE" | tee -a "$QLOG"

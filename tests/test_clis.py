@@ -212,3 +212,35 @@ def test_choose_training_and_generate_clis(tmp_path):
     ])
     data = pickle.load(open(gen_out, "rb"))
     assert data["_real"].shape == (8, 8)
+
+
+def test_experiment_skip_reasons(tmp_path):
+    """Digest-level skip semantics: a committed digest marks an arm done
+    across fresh checkouts (raw pickles are gitignored), --redo re-records
+    it, --force always runs."""
+    from amf_tpu.run import experiment
+
+    res = str(tmp_path / "results_stan.pkl")
+
+    # nothing on disk -> run
+    assert experiment._skip_reason(res, force=False, redo=False) is None
+    # pickle present -> skip (same-session evidence)
+    with open(res, "wb") as f:
+        f.write(b"x")
+    assert "exists" in experiment._skip_reason(res, force=False, redo=False)
+    assert experiment._skip_reason(res, force=True, redo=False) is None
+    os.remove(res)
+
+    # digest present, pickle gone (fresh checkout) -> skip unless --redo
+    dpath = experiment.digest_path_for(res)
+    assert dpath == str(tmp_path / "digest_stan.json.gz")
+    with open(dpath, "wb") as f:
+        f.write(b"x")
+    assert "digest exists" in experiment._skip_reason(res, force=False, redo=False)
+    assert experiment._skip_reason(res, force=False, redo=True) is None
+    assert experiment._skip_reason(res, force=True, redo=False) is None
+
+    # the catalog parses and every entry names its reference source
+    cat = experiment.catalog()
+    assert len(cat) == 11
+    assert all(e.source for e in cat.values())
