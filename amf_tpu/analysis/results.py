@@ -49,10 +49,20 @@ def guess_kind(results: Dict) -> str:
 
 
 def load_results(path: str, kind: Optional[str] = None) -> Dict:
-    """Load a results pickle and normalize criterion keys to
-    '<kind>_<key>' prefixes (reference: plot_results.load_results :356-371)."""
-    with open(path, "rb") as f:
-        results = pickle.load(f)
+    """Load a results pickle (or a committed digest_*.json.gz) and normalize
+    criterion keys to '<kind>_<key>' prefixes (reference:
+    plot_results.load_results :356-371). Digest inputs are rebuilt via
+    ``results_from_digest`` so plotting/compare tooling runs from committed
+    artifacts alone — raw pickles do not survive a fresh checkout."""
+    if path.endswith(".json.gz"):
+        import gzip
+        import json
+
+        with gzip.open(path, "rt") as f:
+            results = results_from_digest(json.load(f))
+    else:
+        with open(path, "rb") as f:
+            results = pickle.load(f)
     kind = kind or guess_kind(results)
     out = {}
     for key, val in results.items():
