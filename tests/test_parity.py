@@ -221,3 +221,17 @@ def test_check_rows_reproducible_from_digest(tmp_path):
         dg = json.load(f)
     rt = results_from_digest(dg)
     assert rt["_from_digest"] and "pred-variance" in rt
+
+
+def test_digest_stamps_engine_era():
+    """Digests record which engine era produced them (the cross-session
+    re-record queue keys on this; raw pickles do not survive checkouts)."""
+    from amf_tpu.mcmc.nuts import SAMPLER_ERA
+    from amf_tpu.models.mmmf import SOLVER_ERA
+
+    dg = parity.digest(_fake_results([1.0, 0.9], kind="stan"), "stan")
+    assert dg["sampler_era"] == SAMPLER_ERA
+    dg = parity.digest(_fake_results([1.0, 0.9], kind="mmmf"), "mmmf")
+    assert dg["solver_era"] == SOLVER_ERA
+    dg = parity.digest(_fake_results([1.0, 0.9], kind="apmf"), "apmf")
+    assert "sampler_era" not in dg and "solver_era" not in dg
