@@ -93,7 +93,8 @@ def run_active_mmmf(
     # reference analogue: partial_results.mat saved every 20 steps mid-run
     # (mmmf/evaluate_active.m:84-86)
     ckpt = LoopCheckpointer.for_problem(
-        checkpoint_path, problem, y_real, every=checkpoint_every
+        checkpoint_path, problem, y_real, every=checkpoint_every,
+        era=mmmf.SOLVER_ERA,
     )
 
     family = Family(

@@ -196,8 +196,11 @@ def run_active_stan(
     from amf_tpu.active.driver import Family, drive_active
     from amf_tpu.utils.checkpoint import LoopCheckpointer
 
+    from amf_tpu.mcmc.nuts import SAMPLER_ERA
+
     ckpt = LoopCheckpointer.for_problem(
-        checkpoint_path, problem, real, every=checkpoint_every
+        checkpoint_path, problem, real, every=checkpoint_every,
+        era=SAMPLER_ERA,
     )
 
     def refit(st_pair, prob, k):

@@ -136,20 +136,28 @@ def digest(results: Dict, kind: Optional[str] = None) -> Dict:
             if results.get("_rating_vals") is not None else None
         ),
         "args": {
-            k: v for k, v in (results.get("_args") or {}).items()
+            # scalars pass through; the list-valued --note (git-rev +
+            # experiment provenance) is joined so digests keep it
+            k: (" | ".join(map(str, v)) if k == "note" and
+                isinstance(v, (list, tuple)) else v)
+            for k, v in (results.get("_args") or {}).items()
             if isinstance(v, (str, int, float, bool, type(None)))
+            or (k == "note" and isinstance(v, (list, tuple)))
         },
         "criteria": {},
     }
     # engine-era provenance: lets cross-session re-record queues decide
     # whether a committed digest was produced by current engine code
-    # (raw pickles are gitignored, so the digest is the durable record)
+    # (raw pickles are gitignored, so the digest is the durable record).
+    # The era is COPIED from the run-time stamp the CLI wrote into the
+    # results pickle — never re-derived from the currently imported
+    # constants, so re-digesting an old-era pickle keeps its true era
+    # ("pre-era" = produced before run-time stamping existed; see
+    # scripts/backfill_era.py for provenance-based backfills).
     if kind in ("stan", "stan_newitems"):
-        from amf_tpu.mcmc.nuts import SAMPLER_ERA
-        out["sampler_era"] = SAMPLER_ERA
+        out["sampler_era"] = str(results.get("_sampler_era", "pre-era"))
     elif kind == "mmmf":
-        from amf_tpu.models.mmmf import SOLVER_ERA
-        out["solver_era"] = SOLVER_ERA
+        out["solver_era"] = str(results.get("_solver_era", "pre-era"))
     for key, recs in results.items():
         if key.startswith("_") or not isinstance(recs, list):
             continue
@@ -172,6 +180,11 @@ def digest(results: Dict, kind: Optional[str] = None) -> Dict:
                 else np.round(np.asarray(fse, np.float64), 6).tolist()
             ),
         }
+    # round-trip per-criterion provenance notes (splice markers, per-arm
+    # era) when re-digesting a digest-reconstructed results dict
+    for short, meta in (results.get("_criteria_meta") or {}).items():
+        if short in out["criteria"]:
+            out["criteria"][short].update(meta)
     return out
 
 
@@ -266,6 +279,41 @@ def check_results(results: Dict, kind: Optional[str] = None,
             "check": "structural", "key": short,
             "status": "pass" if ok and not pinned else "fail",
             "detail": detail,
+        })
+
+    # era/initial-state consistency: every arm of one run shares the same
+    # initial fit, so initial errors must agree (committed digests show
+    # byte-identical err[0] across arms; a spliced fresh arm may differ by
+    # sampler MC noise). A large spread is the signature of MIXED-ERA arms
+    # — e.g. a frozen-sampler checkpoint resumed next to fixed-sampler
+    # re-records (the 58k-15d random arm, err[0] 0.9874 vs 1.2927) — which
+    # makes active-vs-random AUC comparisons meaningless. Provenance
+    # defect, so it hard-fails regardless of strict_active.
+    if len(curves) > 1:
+        crit_meta = results.get("_criteria_meta") or {}
+        e0 = {s: float(errs[0]) for s, (ns, errs) in curves.items()
+              if len(errs)}
+        lo_s = min(e0, key=e0.get)
+        hi_s = max(e0, key=e0.get)
+        lo, hi = e0[lo_s], e0[hi_s]
+        rel = (hi - lo) / max((hi + lo) / 2.0, 1e-12)
+        spliced = sorted(s for s, m in crit_meta.items() if "spliced" in m)
+        if rel <= 0.02:
+            status, note = "pass", "arms share the initial state"
+        elif rel <= 0.08:
+            status = "warn"
+            note = ("initial errs differ beyond MC noise"
+                    if not spliced else
+                    f"initial errs differ; spliced arms: {spliced}")
+        else:
+            status = "fail"
+            note = ("initial errs inconsistent — arms look MIXED-ERA "
+                    "(stale checkpoint resumed next to re-recorded arms?)")
+        rows.append({
+            "check": "initial_consistency", "key": "all-arms",
+            "status": status,
+            "detail": f"err[0] spread {rel * 100:.1f}% "
+                      f"({lo_s} {lo:.4f} .. {hi_s} {hi:.4f}) ({note})",
         })
 
     for short, (ns, errs) in curves.items():

@@ -106,6 +106,20 @@ def results_from_digest(dg: Dict) -> Dict:
         "_args": dg.get("args", {}),
         "_from_digest": True,
     }
+    # engine-era provenance round-trips: digest(results_from_digest(dg))
+    # must keep the recorded era, and the parity checker reads it to flag
+    # mixed-era arms
+    if dg.get("sampler_era") is not None:
+        out["_sampler_era"] = dg["sampler_era"]
+    if dg.get("solver_era") is not None:
+        out["_solver_era"] = dg["solver_era"]
+    crit_meta = {
+        short: {k: c[k] for k in ("spliced", "era") if k in c}
+        for short, c in crits.items()
+        if any(k in c for k in ("spliced", "era"))
+    }
+    if crit_meta:
+        out["_criteria_meta"] = crit_meta
     kind = dg.get("kind")
     for short, c in crits.items():
         fse = c.get("first_step_evals")

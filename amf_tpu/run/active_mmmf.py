@@ -107,6 +107,12 @@ def main(argv=None):
                for k, v in results.items()}
         out["_kind"] = "mmmf"
         out["_args"] = vars(args)
+        # run-time engine-era stamp: records which solver produced these
+        # samples (NOT re-derived at digest time — a re-digest of an old
+        # pickle must keep the old era)
+        from amf_tpu.models.mmmf import SOLVER_ERA
+
+        out["_solver_era"] = SOLVER_ERA
         with open(args.save_results, "wb") as f:
             pickle.dump(out, f)
 

@@ -62,6 +62,11 @@ def main(argv=None):
              "bpmf.stan (general-w_0 construction, w_0 = I data), "
              "bpmf_straightforward.stan (naive centered parameterization)")
     parser.add_argument("--test-set", default="all")
+    parser.add_argument("--query-new-only", action="store_true",
+                        default=False,
+                        help="only query cells in columns flagged by the "
+                             "data file's _is_new_item vector (reference: "
+                             "stan-bpmf/bpmf.py:736-737,917-919)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--float32", action="store_true")
     parser.add_argument("--verbose", action="store_true", default=True)
@@ -116,6 +121,14 @@ def main(argv=None):
         # held-out test cells must not be queryable (reference:
         # stan-bpmf/bpmf.py:915, mn_active_pmf.py:1091-1093)
         query_on = query_on & ~np.asarray(test_on, dtype=bool)
+    if args.query_new_only:
+        if "_is_new_item" not in data:
+            sys.stderr.write("--query-new-only needs _is_new_item in the "
+                             "data file\n")
+            sys.exit(1)
+        # zero out queries to old-item columns (stan-bpmf/bpmf.py:917-919)
+        new_item = np.asarray(data["_is_new_item"], dtype=bool)
+        query_on = query_on & new_item[None, :]
 
     dtype = jnp.float32 if args.float32 else jnp.float64
     problem = types.problem_from_ratings(ratings, real=real, test=test_on, dtype=dtype)
@@ -210,6 +223,12 @@ def main(argv=None):
         results = dict(results)
         results["_kind"] = "stan"
         results["_args"] = vars(args)
+        # run-time engine-era stamp (see analysis/parity.digest: the digest
+        # copies this rather than the currently imported constant, so a
+        # re-digest of an old-era pickle cannot be mislabeled as current)
+        from amf_tpu.mcmc.nuts import SAMPLER_ERA
+
+        results["_sampler_era"] = SAMPLER_ERA
         with open(args.save_results, "wb") as f:
             pickle.dump(results, f)
 

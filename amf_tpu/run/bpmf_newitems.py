@@ -218,8 +218,10 @@ def main(argv=None):
     st0, samps0 = sample_fn(ks, st0, prob_new0)
     stats0 = stats_fn(samps0)
 
+    from amf_tpu.mcmc.nuts import SAMPLER_ERA
+
     ckpt = LoopCheckpointer.for_problem(
-        args.checkpoint, prob_new0, real_new, every=20
+        args.checkpoint, prob_new0, real_new, every=20, era=SAMPLER_ERA
     )
     family = Family(
         nice_name=lambda kname: kname,
@@ -253,6 +255,7 @@ def main(argv=None):
         print(f"\nsaving results in '{args.save_results}'")
         results["_kind"] = "stan"
         results["_args"] = vars(args)
+        results["_sampler_era"] = SAMPLER_ERA
         with open(args.save_results, "wb") as f:
             pickle.dump(results, f)
 

@@ -441,6 +441,104 @@ def catalog() -> Dict[str, Experiment]:
             # reference cannot run it either; omitted.
         },
     )
+
+    # ---- sampler-robustness variants of the d2 workload
+    # (results/10x10_discrete2_d2/Makefile:56-115): the reference's own
+    # cross-density / sampler-budget consistency experiment — the
+    # straightforward Stan density at the standard budget, and the default
+    # density at 2x / 50x sample budgets (no lookahead keys). These are the
+    # strongest available check of the native NUTS replacement: criterion
+    # maps should agree across densities and stabilize with budget
+    # (compare_firsts methodology, SURVEY.md §4.3).
+    d2 = exps["10x10_discrete2_d2"]
+    d2_runs = dict(d2.runs)
+    d2_runs["stan_straightforward"] = [
+        "amf_tpu.run.bpmf", "--load-data", "{data}",
+        "--latent-d", "2", "--no-subtract-mean", "--float32",
+        "--model-filename", "bpmf_straightforward.stan",
+        "--samps", "200", "--warmup", "200",
+        "--lookahead-samps", "100", "--lookahead-warmup", "50",
+        "--checkpoint", "{out}/ckpt_stan_straightforward.pkl",
+        "--save-results", "{out}/results_stan_straightforward.pkl",
+        "--no-verbose",
+    ]
+    # Makefile:56-66 (s400) and :68-78 (s10000): warmup 200, direct keys
+    # only ("nolookahead")
+    for budget in ("400", "10000"):
+        d2_runs[f"stan_s{budget}"] = [
+            "amf_tpu.run.bpmf", "--load-data", "{data}",
+            "--latent-d", "2", "--no-subtract-mean", "--float32",
+            "--samps", budget, "--warmup", "200",
+            "--checkpoint", "{out}/ckpt_stan_s" + budget + ".pkl",
+            "--save-results", "{out}/results_stan_s" + budget + ".pkl",
+            "--no-verbose",
+            "random", "pred-variance", "pred", "prob-ge-3.5",
+        ]
+    exps["10x10_discrete2_d2"] = d2._replace(runs=d2_runs)
+
+    # ---- remaining d4 families (results/10x10_discrete4_d4/Makefile:78-96):
+    # mmmf (-C 1 --cutoff 3.5, all selectors) and rc (--delta 1.5
+    # --pred-mean, entropy random)
+    d4 = exps["10x10_discrete4_d4"]
+    d4_runs = dict(d4.runs)
+    d4_runs["mmmf"] = [
+        "amf_tpu.run.active_mmmf", "--load-data", "{data}",
+        "--cutoff", "3.5", "-C", "1",
+        "--checkpoint", "{out}/ckpt_mmmf.pkl",
+        "--save-results", "{out}/results_mmmf.pkl", "--no-verbose",
+    ]
+    d4_runs["rc"] = [
+        "amf_tpu.run.active_rc", "--load-data", "{data}",
+        "--delta", "1.5", "--pred-mode",
+        "--checkpoint", "{out}/ckpt_rc.pkl",
+        "--save-results", "{out}/results_rc.pkl", "--no-verbose",
+        "entropy", "random",
+    ]
+    exps["10x10_discrete4_d4"] = d4._replace(runs=d4_runs)
+
+    # ---- DrugBank matrix-normal arms — the MN model's at-scale reason to
+    # exist (mn_active_pmf.py:119 docstring: covariance too big for the
+    # full-normal model at 94x425). results/drugbank-94x425/Makefile:66-76
+    # (150 steps) and results/drugbank-94x425-5to1/Makefile:66-76 (200):
+    # no subtract-mean ("hardcoded :)"), discrete integration,
+    # refit-lookahead, keys random pred-variance pred prob-ge-3.5 (the
+    # Makefiles say prob-ge-3.5 even on ±1 data — mirrored as written).
+    for db_name, db_steps in (("drugbank-94x425", "150"),
+                              ("drugbank-94x425-5to1", "200")):
+        dbe = exps[db_name]
+        db_runs = dict(dbe.runs)
+        db_runs["mnpmf"] = [
+            "amf_tpu.run.active_pmf", "--model", "mn",
+            "--load-data", "{data}",
+            "--latent-d", "20", "--discrete-integration",
+            "--refit-lookahead", "--steps", db_steps, "--float32",
+            "--checkpoint", "{out}/ckpt_mnpmf.pkl",
+            "--save-results", "{out}/results_mnpmf.pkl", "--no-verbose",
+            "random", "pred-variance", "pred", "prob-ge-3.5",
+        ]
+        exps[db_name] = dbe._replace(runs=db_runs)
+
+    # ---- newmovies-10d: the plain (non-cold-start) stan arm restricted to
+    # new-item columns and the mmmf arm its Makefile also builds
+    # (results/movielens-58k-newmovies-10%-10d/Makefile:81-110)
+    nm = exps["movielens-58k-newmovies-10pct-10d"]
+    nm_runs = dict(nm.runs)
+    nm_runs["stan"] = [
+        "amf_tpu.run.bpmf", "--load-data", "{data}",
+        "--latent-d", "10", "--subtract-mean", "--query-new-only",
+        "--samps", "200", "--warmup", "100",
+        "--steps", "200", "--float32",
+        "--checkpoint", "{out}/ckpt_stan.pkl",
+        "--save-results", "{out}/results_stan.pkl", "--no-verbose",
+        "random", "pred-variance", "pred", "prob-ge-3.5",
+    ]
+    nm_runs["mmmf"] = [
+        "amf_tpu.run.active_mmmf", "--load-data", "{data}",
+        "-C", "1", "--cutoff", "3.5", "--steps", "200", "--float32",
+        "--checkpoint", "{out}/ckpt_mmmf.pkl",
+        "--save-results", "{out}/results_mmmf.pkl", "--no-verbose",
+    ]
+    exps["movielens-58k-newmovies-10pct-10d"] = nm._replace(runs=nm_runs)
     return exps
 
 

@@ -52,10 +52,12 @@ class LoopCheckpointer:
     """
 
     def __init__(self, path: Optional[str], every: int = 20,
-                 fingerprint: Optional[str] = None):
+                 fingerprint: Optional[str] = None,
+                 era: Optional[str] = None):
         self.path = path
         self.every = max(every, 1)
         self.fingerprint = fingerprint
+        self.era = era
         self._state: Dict[str, object] = {}
         if path and os.path.exists(path):
             with open(path, "rb") as f:
@@ -68,16 +70,30 @@ class LoopCheckpointer:
                     f"(fingerprint {stored} != {fingerprint}); refusing to "
                     "resume — delete the file or pass the matching data"
                 )
+            # engine-era guard: a checkpoint written by a different engine
+            # era must not be silently resumed — the resumed steps would mix
+            # old- and new-engine behavior in one trace (the 58k-15d random
+            # arm regression, experiments/README.md), and the run-time era
+            # stamp would then mislabel the whole run as current-era.
+            stored_era = self._state.get("_era", "pre-era")
+            if era is not None and self._state and stored_era != era:
+                raise ValueError(
+                    f"checkpoint {path} was written by engine era "
+                    f"{stored_era!r} but the current engine is {era!r}; "
+                    "refusing to resume a mixed-era trace — delete the "
+                    "checkpoint to re-record from scratch"
+                )
 
     @classmethod
     def for_problem(cls, path: Optional[str], problem, real,
-                    every: int = 20) -> "LoopCheckpointer":
+                    every: int = 20, era: Optional[str] = None
+                    ) -> "LoopCheckpointer":
         """Build a checkpointer keyed to a Problem; the fingerprint is only
         computed when a path is given (it hashes the full matrix)."""
         fp = None
         if path:
             fp = problem_fingerprint(real, problem.rated, problem.test)
-        return cls(path, every=every, fingerprint=fp)
+        return cls(path, every=every, fingerprint=fp, era=era)
 
     def completed_records(self, key: str) -> Optional[List[tuple]]:
         """Records saved for a criterion in a previous run (or None)."""
@@ -127,6 +143,8 @@ class LoopCheckpointer:
         self._state[key] = _slim(records)
         if self.fingerprint is not None:
             self._state["_fingerprint"] = self.fingerprint
+        if self.era is not None:
+            self._state["_era"] = self.era
         n_steps = len(records) - 1
         if force or (n_steps % self.every == 0):
             tmp = self.path + ".tmp"

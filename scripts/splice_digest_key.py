@@ -41,12 +41,35 @@ def main():
     if fresh.get("rating_vals") != target.get("rating_vals"):
         sys.exit(f"rating_vals mismatch: fresh {fresh.get('rating_vals')} "
                  f"vs target {target.get('rating_vals')}")
+    # config guard: a fresh run with a different model/sampler config (or a
+    # different step grid) must not splice silently — the merged digest
+    # would compare incomparable arms
+    fa, ta = fresh.get("args") or {}, target.get("args") or {}
+    cfg_fields = ("latent_d", "samps", "warmup", "subtract_mean", "float32",
+                  "lookahead_samps", "lookahead_warmup", "test_set")
+    bad = [f"{k}: fresh {fa[k]!r} vs target {ta[k]!r}"
+           for k in cfg_fields
+           if k in fa and k in ta and fa[k] != ta[k]]
+    entry = fresh["criteria"][key]
+    tgt_ns = (target["criteria"].get(key) or {}).get("n_rated")
+    if tgt_ns is not None and len(entry["n_rated"]) != len(tgt_ns):
+        bad.append(f"n_rated grid length: fresh {len(entry['n_rated'])} "
+                   f"vs target {len(tgt_ns)}")
+    if bad:
+        sys.exit("config mismatch, refusing to splice:\n  " + "\n  ".join(bad))
 
     shutil.copyfile(digest_path, digest_path + ".presplice.bak")
-    entry = fresh["criteria"][key]
     rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                          capture_output=True, text=True).stdout.strip()
     entry["spliced"] = f"fresh single-key re-run merged at git-rev {rev}"
+    # per-arm era note so mixed-era digests stay detectable after a splice
+    for era_field in ("sampler_era", "solver_era"):
+        if fresh.get(era_field) is not None:
+            entry["era"] = fresh[era_field]
+            if target.get(era_field) in (None, "pre-era"):
+                # every other arm predates run-time stamping; the splice
+                # does NOT upgrade the digest-level era
+                pass
     target["criteria"][key] = entry
     with gzip.open(digest_path, "wt") as f:
         json.dump(target, f)

@@ -30,7 +30,27 @@ def test_check_results_pass():
     rows = parity.check_results(res, "apmf")
     assert all(r["status"] == "pass" for r in rows), rows
     checks = {r["check"] for r in rows}
-    assert checks == {"structural", "learning", "active_vs_random"}
+    assert checks == {"structural", "learning", "active_vs_random",
+                      "initial_consistency"}
+
+
+def test_initial_consistency_flags_mixed_era_arms():
+    """Arms whose initial errors disagree far beyond MC noise (the 58k-15d
+    frozen-checkpoint random arm: err[0] 0.9874 vs 1.2927) hard-fail the
+    initial_consistency band; matching arms pass it."""
+    res = _fake_results([1.0, 0.8, 0.6, 0.5])
+    # desync the random arm's initial error by ~27% (the observed era mix)
+    rand = res["random"]
+    res["random"] = [(rand[0][0], 0.75, None, None)] + rand[1:]
+    rows = parity.check_results(res, "apmf")
+    row = [r for r in rows if r["check"] == "initial_consistency"][0]
+    assert row["status"] == "fail", row
+    assert "MIXED-ERA" in row["detail"]
+
+    ok_rows = parity.check_results(_fake_results([1.0, 0.8, 0.6, 0.5]),
+                                   "apmf")
+    ok = [r for r in ok_rows if r["check"] == "initial_consistency"][0]
+    assert ok["status"] == "pass", ok
 
 
 def test_check_results_fail_on_worsening():
@@ -223,15 +243,38 @@ def test_check_rows_reproducible_from_digest(tmp_path):
     assert rt["_from_digest"] and "pred-variance" in rt
 
 
-def test_digest_stamps_engine_era():
-    """Digests record which engine era produced them (the cross-session
-    re-record queue keys on this; raw pickles do not survive checkouts)."""
-    from amf_tpu.mcmc.nuts import SAMPLER_ERA
-    from amf_tpu.models.mmmf import SOLVER_ERA
-
+def test_digest_copies_run_time_era():
+    """Digests COPY the era the producing CLI stamped into the results
+    pickle at run time — never the currently imported constants (advisor
+    r3 high finding: re-digesting an old-era pickle must keep its true
+    era). Unstamped legacy pickles digest as the 'pre-era' sentinel."""
+    res = _fake_results([1.0, 0.9], kind="stan")
+    res["_sampler_era"] = "esjd-leapfrog-v1"
+    assert parity.digest(res, "stan")["sampler_era"] == "esjd-leapfrog-v1"
+    # a surviving OLD-era pickle keeps its recorded era on re-digest
+    res["_sampler_era"] = "pre-esjd"
+    assert parity.digest(res, "stan")["sampler_era"] == "pre-esjd"
+    # no run-time stamp at all -> sentinel, not the current constant
     dg = parity.digest(_fake_results([1.0, 0.9], kind="stan"), "stan")
-    assert dg["sampler_era"] == SAMPLER_ERA
-    dg = parity.digest(_fake_results([1.0, 0.9], kind="mmmf"), "mmmf")
-    assert dg["solver_era"] == SOLVER_ERA
+    assert dg["sampler_era"] == "pre-era"
+
+    res = _fake_results([1.0, 0.9], kind="mmmf")
+    res["_solver_era"] = "eigh-svt-v1"
+    assert parity.digest(res, "mmmf")["solver_era"] == "eigh-svt-v1"
     dg = parity.digest(_fake_results([1.0, 0.9], kind="apmf"), "apmf")
     assert "sampler_era" not in dg and "solver_era" not in dg
+
+
+def test_era_round_trips_through_digest_reconstruction():
+    """digest -> results_from_digest -> digest keeps era + splice notes."""
+    from amf_tpu.analysis.results import results_from_digest
+
+    res = _fake_results([1.0, 0.9], kind="stan")
+    res["_sampler_era"] = "esjd-leapfrog-v1"
+    dg = parity.digest(res, "stan")
+    dg["criteria"]["random"]["spliced"] = "fresh re-run merged at abc1234"
+    dg["criteria"]["random"]["era"] = "esjd-leapfrog-v1"
+    rt = parity.digest(results_from_digest(dg), "stan")
+    assert rt["sampler_era"] == "esjd-leapfrog-v1"
+    assert rt["criteria"]["random"]["spliced"].startswith("fresh")
+    assert rt["criteria"]["random"]["era"] == "esjd-leapfrog-v1"

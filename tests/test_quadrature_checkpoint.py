@@ -125,6 +125,30 @@ def test_checkpoint_fingerprint_guard(tmp_path):
         )
 
 
+def test_checkpoint_era_guard(tmp_path):
+    """A checkpoint written by one engine era refuses to resume under
+    another (mixed-era traces are the 58k-15d random-arm failure mode);
+    era-less legacy checkpoints count as 'pre-era' and also refuse."""
+    from amf_tpu.utils.checkpoint import LoopCheckpointer
+
+    path = str(tmp_path / "era.pkl")
+    ck = LoopCheckpointer(path, era="esjd-leapfrog-v1")
+    ck.update("random", [(4, 1.0, None, None)], force=True)
+    # same era: resumes
+    LoopCheckpointer(path, era="esjd-leapfrog-v1")
+    # era-agnostic caller (no era arg): resumes
+    LoopCheckpointer(path)
+    # different era: refuses
+    with pytest.raises(ValueError, match="engine era"):
+        LoopCheckpointer(path, era="esjd-leapfrog-v2")
+
+    legacy = str(tmp_path / "legacy.pkl")
+    ck = LoopCheckpointer(legacy)  # written before era stamping existed
+    ck.update("random", [(4, 1.0, None, None)], force=True)
+    with pytest.raises(ValueError, match="pre-era"):
+        LoopCheckpointer(legacy, era="esjd-leapfrog-v1")
+
+
 def test_checkpoint_strips_eval_matrices(tmp_path):
     from amf_tpu.utils.checkpoint import LoopCheckpointer
 
