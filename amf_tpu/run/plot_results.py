@@ -24,6 +24,14 @@ def main(argv=None):
     parser.add_argument("--rmses", action="store_true", help="plot RMSE curves")
     parser.add_argument("--criteria-firsts", action="store_true",
                         help="grid of first-step criterion maps")
+    parser.add_argument("--criteria-over-time", action="store_true",
+                        help="per-criterion grid of per-step eval heatmaps "
+                             "with the picked cell marked (reference "
+                             "plot_results.py:222-283)")
+    parser.add_argument("--max-steps-plotted", type=int, default=64,
+                        help="with --criteria-over-time: cap the grid size "
+                             "(the reference plots every step; long sweeps "
+                             "subsample evenly)")
     parser.add_argument("--ge-cutoff", type=float, default=None,
                         help="discovery curves of values >= cutoff")
     parser.add_argument("--aucs", action="store_true",
@@ -52,7 +60,8 @@ def main(argv=None):
         for k, v in sorted(R.aucs(merged).items(), key=lambda kv: kv[1]):
             print(f"  {R.KEY_NAMES.get(k, k):<36} {v:.4f}")
 
-    needs_plots = args.rmses or args.criteria_firsts or args.ge_cutoff is not None
+    needs_plots = (args.rmses or args.criteria_firsts
+                   or args.criteria_over_time or args.ge_cutoff is not None)
     if not needs_plots:
         return
 
@@ -93,6 +102,49 @@ def main(argv=None):
                 ax.axis("off")
             path = os.path.join(args.outdir, "criteria_firsts.png")
             fig.savefig(path, dpi=120, bbox_inches="tight")
+            print(f"wrote {path}")
+
+    if args.criteria_over_time:
+        # reference plot_criteria_over_time (plot_results.py:222-283): one
+        # panel per active step showing that step's criterion map with the
+        # chosen cell marked; shared color scale across steps
+        for k in crit_keys:
+            recs = merged[k]
+            steps = [(r[0], r[2], np.asarray(r[3], float))
+                     for r in recs
+                     if r[2] is not None and len(r) > 3 and r[3] is not None
+                     and np.isfinite(np.asarray(r[3], float)).any()]
+            if not steps:
+                continue
+            if len(steps) > args.max_steps_plotted:
+                idx = np.linspace(0, len(steps) - 1,
+                                  args.max_steps_plotted).astype(int)
+                steps = [steps[i] for i in idx]
+            cols = int(np.ceil(np.sqrt(len(steps))))
+            rows = (len(steps) + cols - 1) // cols
+            finite = np.concatenate(
+                [ev[np.isfinite(ev)].ravel() for _, _, ev in steps])
+            vmin, vmax = float(finite.min()), float(finite.max())
+            fig, axes = plt.subplots(
+                rows, cols, figsize=(2.2 * cols, 2.2 * rows), squeeze=False)
+            im = None
+            for ax, (n, ij, ev) in zip(axes.ravel(), steps):
+                im = ax.imshow(ev, interpolation="nearest",
+                               vmin=vmin, vmax=vmax)
+                # mark the selected point (imshow x=col, y=row)
+                ax.scatter(ij[1], ij[0], marker="s", facecolors="none",
+                           edgecolors="white", s=40, linewidths=1.2)
+                ax.set_title(f"n={n}", fontsize=6)
+                ax.set_xticks(())
+                ax.set_yticks(())
+            for ax in axes.ravel()[len(steps):]:
+                ax.axis("off")
+            if im is not None:
+                fig.colorbar(im, ax=axes, fraction=0.02)
+            safe = k.replace("/", "_")
+            path = os.path.join(args.outdir, f"criteria_over_time_{safe}.png")
+            fig.savefig(path, dpi=120, bbox_inches="tight")
+            plt.close(fig)
             print(f"wrote {path}")
 
     if args.ge_cutoff is not None:
