@@ -148,11 +148,14 @@ def catalog() -> Dict[str, Experiment]:
                 "--checkpoint", "{out}/ckpt_mnpmf.pkl",
                 "--save-results", "{out}/results_mnpmf.pkl", "--no-verbose",
             ],
-            # Makefile:68-76: active_pmf --discrete --refit-lookahead
+            # Makefile:68-76: active_pmf --discrete --refit-lookahead.
+            # f32 on-chip: the host has one CPU core and the f64 CPU run
+            # measured 2.65 min/pick (~60 h for 15 keys x 91 picks); the
+            # chip does 1.11 s/step (scripts/probe_d4_apmf_step.py).
             "apmf": [
                 "amf_tpu.run.active_pmf", "--load-data", "{data}",
                 "--latent-d", "4", "--discrete-integration",
-                "--refit-lookahead",
+                "--refit-lookahead", "--float32",
                 "--checkpoint", "{out}/ckpt_apmf.pkl",
                 "--save-results", "{out}/results_apmf.pkl", "--no-verbose",
             ],

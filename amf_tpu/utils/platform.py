@@ -11,6 +11,31 @@ Environment quirks this handles (documented in .claude/skills/verify/SKILL.md):
 from __future__ import annotations
 
 
+def _enable_compile_cache(jax) -> None:
+    """Persistent executable cache shared across processes.
+
+    First compiles on the accelerator go through a remote-compile HTTP
+    helper and can take MINUTES per program (the bench headline tile
+    measured 663 s); the persistent cache makes every later process pay
+    ~1 s instead (measured cross-process on the axon backend). Opt out
+    with AMF_COMPILE_CACHE=0, or point it elsewhere with a path."""
+    import os
+
+    cache = os.environ.get("AMF_COMPILE_CACHE")
+    if cache == "0":
+        return
+    if not cache:
+        cache = os.path.abspath(
+            os.path.join(os.path.dirname(__file__), "..", "..",
+                         ".jax_cache"))
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # noqa: BLE001 — cache is an optimization, never fatal
+        pass
+
+
 def setup(use_x64: bool) -> str:
     """Configure JAX for the requested precision; returns the backend name.
 
@@ -22,6 +47,8 @@ def setup(use_x64: bool) -> str:
     import os
 
     import jax
+
+    _enable_compile_cache(jax)
 
     forced = os.environ.get("AMF_PLATFORM")
     if forced:

@@ -209,15 +209,26 @@ def bench_vn_total_variance(jax, jnp):
         pmf_refit_steps=50, approx_refit_steps=50, n_integration_nodes=8)
     crit = KEY_FUNCS["total-variance"]
     adapter = vn_adapter(vcfg)
-    cand = jnp.asarray(
-        np.flatnonzero(np.asarray(prob.queryable).ravel()), jnp.int32)
+    cand_all = np.flatnonzero(np.asarray(prob.queryable).ravel())
 
-    fn = jax.jit(lambda k: lookahead_scores(
-        crit, pst, ast, prob, k, pcfg, adapter, lcfg, cand=cand))
-    jax.block_until_ready(fn(key))
+    # Host-tiled dispatch (the round-3/4 root-cause finding, see
+    # BENCHMARKS.md "TPU-worker fault family"): the whole-sweep program
+    # (~460 lanes x dual 50-step refits x 8 nodes in ONE device program)
+    # runs for minutes and faults the TPU worker with UNAVAILABLE; the
+    # same work as a stream of bounded tile programs is stable — the
+    # identical fix that carried the 70x306 exp-variance sweep.
+    vt = 64
+    n_cand = (len(cand_all) // vt) * vt
+    tiles = [jnp.asarray(cand_all[t:t + vt], jnp.int32)
+             for t in range(0, n_cand, vt)]
+    fn = jax.jit(lambda k, c: lookahead_scores(
+        crit, pst, ast, prob, k, pcfg, adapter, lcfg, cand=c))
+    jax.block_until_ready(fn(key, tiles[0]))
     t0 = time.perf_counter()
-    jax.block_until_ready(fn(jax.random.fold_in(key, 2)))
-    return cand.shape[0] / (time.perf_counter() - t0)
+    outs = [fn(jax.random.fold_in(key, 2 + t), c)
+            for t, c in enumerate(tiles)]
+    jax.block_until_ready(outs)
+    return n_cand / (time.perf_counter() - t0)
 
 
 def bench_pmf_refit_kernel(jax, jnp, prob, pst, pcfg):
@@ -228,13 +239,21 @@ def bench_pmf_refit_kernel(jax, jnp, prob, pst, pcfg):
     di, dj = cand_all // M, cand_all % M
     dv = jnp.sum(pst.U[di] * pst.V[dj], axis=1)
 
+    # single fused program (round-2 design, comparable to BENCH_r02's
+    # 24.7k row): the whole 1024-candidate sweep runs ~14 ms on-device —
+    # nowhere near the minutes-long family that faults the worker. Its
+    # round-3 UNAVAILABLE was collateral: the (genuinely long) vn program
+    # faulted first and poisoned the client. A/B on the live chip
+    # (round 4): fused 25.7k vs 64-cand host tiles 15.7k scores/s
+    # (dispatch-bound); the try/except in main() still guards the JSON.
     @jax.jit
     def score_all_fn(di, dj, dv):
         def one_tile(args):
             ti, tj, tv = args
             _, _, neg_ll = pmf.fit_lookahead_batch(
                 pst, prob, ti, tj, tv, pcfg, max_steps=PK_REFIT_STEPS,
-                lane_block=PK_LANE_BLOCK, block_rows=PK_BLOCK_ROWS, bf16=True)
+                lane_block=PK_LANE_BLOCK, block_rows=PK_BLOCK_ROWS,
+                bf16=True)
             return neg_ll
         shape = (-1, PK_TILE)
         return jax.lax.map(
@@ -269,6 +288,14 @@ def _probe_accelerator(timeout_s: float = 180.0) -> bool:
 
 
 def main():
+    # persistent compile cache: first compiles through the remote-compile
+    # helper take minutes (the exp-variance tile measured 663 s); cached
+    # executables load in ~1 s in any later process (utils/platform.py)
+    from amf_tpu.utils.platform import _enable_compile_cache
+    import jax as _jax
+
+    _enable_compile_cache(_jax)
+
     accel = _probe_accelerator()
     if not accel:
         from amf_tpu.utils.platform import setup as platform_setup

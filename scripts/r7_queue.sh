@@ -1,7 +1,12 @@
 #!/usr/bin/env bash
-# Round-4 chip queue: VERDICT r3 asks in priority order, then the new
-# catalog arms, then era-hygiene re-records. Supersedes r6_queue.sh with
-# the round-3 advisor fixes applied:
+# Round-4 chip queue: VERDICT r3 asks, ordered cheapest-and-most-decisive
+# first (this host has ONE CPU core and the chip runs one job at a time;
+# a naive Makefile order would spend the whole round on the two longest
+# re-records and land nothing else). Long checkpointable re-records run
+# LAST — they resume across sessions, the cheap decisive artifacts don't
+# need to.
+#
+# Supersedes r6_queue.sh with the round-3 advisor fixes applied:
 #   - jobs run in their own process group (setsid); the stall watchdog
 #     kills the WHOLE group, so a hung grandchild TPU job cannot survive
 #     its parent and keep holding the chip/tunnel (ADVICE r3 medium)
@@ -17,12 +22,21 @@
 #   rm -f /tmp/queue_stop
 #   nohup bash scripts/r7_queue.sh > /tmp/r7_stdout.log 2>&1 & echo $! > /tmp/r7.pid
 # Stop cleanly between jobs: touch /tmp/queue_stop
+# Deadline: no NEW job starts after QUEUE_DEADLINE_TS (epoch secs;
+# default now+9h) so the chip is free for the driver's end-of-round bench.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 mkdir -p experiments/logs
 export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 QLOG=experiments/logs/r7_queue.log
-STALL_SEC=1500
+# 50 min: first-ever compiles through the remote helper measured up to
+# 663 s for ONE program and a job's first step can chain several; killing
+# a client mid-compile/dispatch is the known relay-death trigger, so the
+# watchdog must out-wait any legitimate compile (the persistent compile
+# cache in utils/platform.py makes repeat shapes ~1 s, so this long fuse
+# only ever burns on genuinely new shapes or real hangs).
+STALL_SEC=3000
+DEADLINE=${QUEUE_DEADLINE_TS:-$(( $(date +%s) + 9 * 3600 ))}
 
 # if an earlier queue generation is still running, wait for it
 for f in /tmp/r4c.pid /tmp/r4d.pid /tmp/r4e.pid /tmp/r4f.pid /tmp/r5.pid /tmp/r6.pid; do
@@ -58,6 +72,10 @@ run() {
   local watch="$1"; shift
   if [[ -f /tmp/queue_stop ]]; then
     echo "=== $(date +%H:%M:%S) /tmp/queue_stop present; queue exiting before $tag" | tee -a "$QLOG"
+    exit 0
+  fi
+  if (( $(date +%s) > DEADLINE )); then
+    echo "=== $(date +%H:%M:%S) past deadline; queue exiting before $tag" | tee -a "$QLOG"
     exit 0
   fi
   wait_for_tpu || exit 1
@@ -102,19 +120,47 @@ except FileNotFoundError:
 PY
 }
 
-# ---- 1. frozen-era stan re-records (VERDICT #2) -------------------------
-for arm in "db5to1_stan drugbank-94x425-5to1" \
-           "100k_stan movielens-100k-from5pct-test5pct"; do
-  set -- $arm
-  if era_current "$E/$2/digest_stan.json.gz" sampler_era esjd; then
-    echo "=== $1: digest already ESJD-era; skipping" | tee -a "$QLOG"
-  else
-    run "$1" "$E/$2" $EXP "$2" --only stan --redo
-    run "$1_check" "$E/$2" $EXP "$2" --check
-  fi
-done
+# ---- 1. perf probes (VERDICT #7) — first: their answers steer the round
+if [[ ! -f experiments/logs/r5_gibbs_chain_probe.log && \
+      ! -f experiments/logs/r6_gibbs_chain_probe.log && \
+      ! -f experiments/logs/r7_gibbs_chain_probe.log ]]; then
+  run gibbs_chain_probe "$E" python scripts/probe_gibbs_chain.py 128
+fi
+run db70_data "$E/drugbank-70x306-gibbs" $EXP drugbank-70x306-gibbs --only data-prep-only
+if [[ ! -f $E/drugbank-70x306-gibbs/adjudication_noise_floor_expvar.json ]]; then
+  run db70_expvar_probe "$E/drugbank-70x306-gibbs" python scripts/adjudicate_noise_floor.py expvar
+fi
 
-# ---- 2. era-consistent 58k-15d random arm, spliced at the digest level --
+# ---- 2. cheap catalog arms + 2-step era re-record -----------------------
+run 10x10d4_mmmf "$E/10x10_discrete4_d4" $EXP 10x10_discrete4_d4 --only mmmf
+run 10x10d4_rc "$E/10x10_discrete4_d4" $EXP 10x10_discrete4_d4 --only rc
+run 10x10d4_check "$E/10x10_discrete4_d4" $EXP 10x10_discrete4_d4 --check
+if ! era_current "$E/criteria_10x10_r1/digest_stan.json.gz" sampler_era esjd; then
+  run criteria_stan "$E/criteria_10x10_r1" $EXP criteria_10x10_r1 --only stan --redo
+  run criteria_check "$E/criteria_10x10_r1" $EXP criteria_10x10_r1 --check
+fi
+
+# ---- 3. d2 sampler-robustness arms (VERDICT #5) + d2 era-hygiene --------
+# straightforward density + s400/s10000 budgets; cross-density τ lands in
+# the --check cross-engine rows and scripts/compare_sampler_budgets.py
+run d2_straightforward "$E/10x10_discrete2_d2" $EXP 10x10_discrete2_d2 --only stan_straightforward
+run d2_s400 "$E/10x10_discrete2_d2" $EXP 10x10_discrete2_d2 --only stan_s400
+run d2_s10000 "$E/10x10_discrete2_d2" $EXP 10x10_discrete2_d2 --only stan_s10000
+if ! era_current "$E/10x10_discrete2_d2/digest_stan.json.gz" sampler_era esjd; then
+  run d2_stan_redo "$E/10x10_discrete2_d2" $EXP 10x10_discrete2_d2 --only stan --redo
+fi
+if ! era_current "$E/10x10_discrete2_d2/digest_mmmf.json.gz" solver_era eigh; then
+  run d2_mmmf_redo "$E/10x10_discrete2_d2" $EXP 10x10_discrete2_d2 --only mmmf --redo
+fi
+run d2_check "$E/10x10_discrete2_d2" $EXP 10x10_discrete2_d2 --check
+run d2_cross_density "$E/10x10_discrete2_d2" python scripts/compare_sampler_budgets.py
+
+# ---- 4. 75k pred noise-floor probe (VERDICT weak #8) ---------------------
+if [[ ! -f $E/movielens-75k-from5pct-test5pct/adjudication_noise_floor_pred.json ]]; then
+  run 75k_pred_probe "$E/movielens-75k-from5pct-test5pct" python scripts/adjudicate_75k_pred.py
+fi
+
+# ---- 5. era-consistent 58k-15d random arm, spliced at the digest level --
 D=$E/movielens-58k-from5pct-test5pct-15d
 if python - <<'PY'
 import gzip, json, sys
@@ -148,17 +194,15 @@ else
   fi
 fi
 
-# ---- 3. mmmf re-records with the repaired (eigh-SVT) solver -------------
-run newmovies20d_mmmf "$E/movielens-58k-newmovies-10pct-20d" $EXP movielens-58k-newmovies-10pct-20d --only mmmf
-run newmovies20d_check "$E/movielens-58k-newmovies-10pct-20d" $EXP movielens-58k-newmovies-10pct-20d --check
-run 58k15d_mmmf "$D" $EXP movielens-58k-from5pct-test5pct-15d --only mmmf
-run 58k15d_mmmf_check "$D" $EXP movielens-58k-from5pct-test5pct-15d --check
-
-# ---- 4. never-recorded d4 apmf arm --------------------------------------
+# ---- 6. never-recorded d4 apmf arm (f32 on-chip; the f64 host run
+# measured 2.65 min/pick on this 1-core box => ~60 h for 15 keys x 91
+# picks, infeasible — stale f64 checkpoint removed so the fresh f32
+# recording can't resume mixed-precision picks)
+run 10x10d4_apmf_stale_ckpt "$E/10x10_discrete4_d4" rm -f "$E/10x10_discrete4_d4/ckpt_apmf.pkl"
 run 10x10d4_apmf "$E/10x10_discrete4_d4" $EXP 10x10_discrete4_d4 --only apmf
-run 10x10d4_check "$E/10x10_discrete4_d4" $EXP 10x10_discrete4_d4 --check
+run 10x10d4_check2 "$E/10x10_discrete4_d4" $EXP 10x10_discrete4_d4 --check
 
-# ---- 5. db94 stan 4-seed replicates (VERDICT #3: adjudicate the
+# ---- 7. db94 stan 4-seed replicates (VERDICT #3: adjudicate the
 # standing strict-band FAIL). ~55 min chip/seed; per-seed digests land at
 # the --check, making completed seeds durable.
 if [[ ! -f $E/drugbank-94x425/seed4/digest_stan.json.gz ]]; then
@@ -167,22 +211,36 @@ fi
 run db94_seeds_check "$E/drugbank-94x425" $EXP drugbank-94x425 --seeds 4 --check
 run db94_check "$E/drugbank-94x425" $EXP drugbank-94x425 --check
 
-# ---- 6. perf probes (VERDICT #7) — early so their answers can be acted
-# on within the round
-if [[ ! -f experiments/logs/r5_gibbs_chain_probe.log && \
-      ! -f experiments/logs/r6_gibbs_chain_probe.log && \
-      ! -f experiments/logs/r7_gibbs_chain_probe.log ]]; then
-  run gibbs_chain_probe "$E" python scripts/probe_gibbs_chain.py 128
+# ---- 8. mmmf re-records with the repaired (eigh-SVT) solver -------------
+run newmovies20d_mmmf "$E/movielens-58k-newmovies-10pct-20d" $EXP movielens-58k-newmovies-10pct-20d --only mmmf
+run newmovies20d_check "$E/movielens-58k-newmovies-10pct-20d" $EXP movielens-58k-newmovies-10pct-20d --check
+run 58k15d_mmmf "$D" $EXP movielens-58k-from5pct-test5pct-15d --only mmmf
+run 58k15d_mmmf_check "$D" $EXP movielens-58k-from5pct-test5pct-15d --check
+if ! era_current "$E/drugbank-94x425/digest_mmmf.json.gz" solver_era eigh; then
+  run db94_mmmf_redo "$E/drugbank-94x425" $EXP drugbank-94x425 --only mmmf --redo
+  run db94_mmmf_check "$E/drugbank-94x425" $EXP drugbank-94x425 --check
 fi
-run db70_data "$E/drugbank-70x306-gibbs" $EXP drugbank-70x306-gibbs --only data-prep-only
-if [[ ! -f $E/drugbank-70x306-gibbs/adjudication_noise_floor_expvar.json ]]; then
-  run db70_expvar_probe "$E/drugbank-70x306-gibbs" python scripts/adjudicate_noise_floor.py expvar
+if ! era_current "$E/drugbank-94x425-5to1/digest_mmmf.json.gz" solver_era eigh; then
+  run db5to1_mmmf_redo "$E/drugbank-94x425-5to1" $EXP drugbank-94x425-5to1 --only mmmf --redo
+  run db5to1_mmmf_check "$E/drugbank-94x425-5to1" $EXP drugbank-94x425-5to1 --check
 fi
 
-# ---- 7. catalog arms the reference Makefiles run (VERDICT #4) -----------
-run 10x10d4_mmmf "$E/10x10_discrete4_d4" $EXP 10x10_discrete4_d4 --only mmmf
-run 10x10d4_rc "$E/10x10_discrete4_d4" $EXP 10x10_discrete4_d4 --only rc
-run 10x10d4_check2 "$E/10x10_discrete4_d4" $EXP 10x10_discrete4_d4 --check
+# ---- 9. frozen-era stan re-records (VERDICT #2) — LONG (hours each,
+# checkpointed; a later session resumes exactly where the deadline or a
+# stop sentinel cut them off). 100k first: its committed digest is the
+# known-defective artifact currently certifying hard_ok.
+for arm in "100k_stan movielens-100k-from5pct-test5pct" \
+           "db5to1_stan drugbank-94x425-5to1"; do
+  set -- $arm
+  if era_current "$E/$2/digest_stan.json.gz" sampler_era esjd; then
+    echo "=== $1: digest already ESJD-era; skipping" | tee -a "$QLOG"
+  else
+    run "$1" "$E/$2" $EXP "$2" --only stan --redo
+    run "$1_check" "$E/$2" $EXP "$2" --check
+  fi
+done
+
+# ---- 10. remaining catalog arms (VERDICT #4) -----------------------------
 run db94_mnpmf "$E/drugbank-94x425" $EXP drugbank-94x425 --only mnpmf
 run db94_mnpmf_check "$E/drugbank-94x425" $EXP drugbank-94x425 --check
 run db5to1_mnpmf "$E/drugbank-94x425-5to1" $EXP drugbank-94x425-5to1 --only mnpmf
@@ -195,29 +253,7 @@ run 100k_check "$E/movielens-100k-from5pct-test5pct" $EXP movielens-100k-from5pc
 run 75k_mmmf "$E/movielens-75k-from5pct-test5pct" $EXP movielens-75k-from5pct-test5pct --only mmmf
 run 75k_check "$E/movielens-75k-from5pct-test5pct" $EXP movielens-75k-from5pct-test5pct --check
 
-# ---- 8. d2 sampler-robustness arms (VERDICT #5): straightforward density
-# + s400/s10000 budgets; cross-density τ lands in the --check cross-engine
-# rows and scripts/compare_sampler_budgets.py
-run d2_straightforward "$E/10x10_discrete2_d2" $EXP 10x10_discrete2_d2 --only stan_straightforward
-run d2_s400 "$E/10x10_discrete2_d2" $EXP 10x10_discrete2_d2 --only stan_s400
-run d2_s10000 "$E/10x10_discrete2_d2" $EXP 10x10_discrete2_d2 --only stan_s10000
-run d2_check "$E/10x10_discrete2_d2" $EXP 10x10_discrete2_d2 --check
-run d2_cross_density "$E/10x10_discrete2_d2" python scripts/compare_sampler_budgets.py
-
-# ---- 9. era-hygiene re-records: digests whose runs predate the current
-# engines (backfilled pre-esjd / pre-eigh-svt). Cheapest-first.
-if ! era_current "$E/criteria_10x10_r1/digest_stan.json.gz" sampler_era esjd; then
-  run criteria_stan "$E/criteria_10x10_r1" $EXP criteria_10x10_r1 --only stan --redo
-  run criteria_check "$E/criteria_10x10_r1" $EXP criteria_10x10_r1 --check
-fi
-if ! era_current "$E/10x10_discrete2_d2/digest_stan.json.gz" sampler_era esjd; then
-  run d2_stan_redo "$E/10x10_discrete2_d2" $EXP 10x10_discrete2_d2 --only stan --redo
-  run d2_stan_check "$E/10x10_discrete2_d2" $EXP 10x10_discrete2_d2 --check
-fi
-if ! era_current "$E/10x10_discrete2_d2/digest_mmmf.json.gz" solver_era eigh; then
-  run d2_mmmf_redo "$E/10x10_discrete2_d2" $EXP 10x10_discrete2_d2 --only mmmf --redo
-  run d2_mmmf_check "$E/10x10_discrete2_d2" $EXP 10x10_discrete2_d2 --check
-fi
+# ---- 11. remaining era-hygiene re-records --------------------------------
 if ! era_current "$E/10x10_discrete4_d4/digest_stan.json.gz" sampler_era esjd; then
   run d4_stan_redo "$E/10x10_discrete4_d4" $EXP 10x10_discrete4_d4 --only stan --redo
   run d4_stan_check "$E/10x10_discrete4_d4" $EXP 10x10_discrete4_d4 --check
@@ -226,21 +262,13 @@ if ! era_current "$E/movielens-58k-newmovies-10pct-10d/digest_stan_newitems.json
   run nm10d_newitems_redo "$E/movielens-58k-newmovies-10pct-10d" $EXP movielens-58k-newmovies-10pct-10d --only stan_newitems --redo
   run nm10d_newitems_check "$E/movielens-58k-newmovies-10pct-10d" $EXP movielens-58k-newmovies-10pct-10d --check
 fi
-if ! era_current "$E/drugbank-94x425/digest_mmmf.json.gz" solver_era eigh; then
-  run db94_mmmf_redo "$E/drugbank-94x425" $EXP drugbank-94x425 --only mmmf --redo
-  run db94_mmmf_check "$E/drugbank-94x425" $EXP drugbank-94x425 --check
-fi
-if ! era_current "$E/drugbank-94x425-5to1/digest_mmmf.json.gz" solver_era eigh; then
-  run db5to1_mmmf_redo "$E/drugbank-94x425-5to1" $EXP drugbank-94x425-5to1 --only mmmf --redo
-  run db5to1_mmmf_check "$E/drugbank-94x425-5to1" $EXP drugbank-94x425-5to1 --check
-fi
 # d2 mmmf seed replicates with the repaired solver
 if ! era_current "$E/10x10_discrete2_d2/seed4/digest_mmmf.json.gz" solver_era eigh; then
   run d2_mmmf_seeds "$E/10x10_discrete2_d2" $EXP 10x10_discrete2_d2 --seeds 4 --only mmmf --redo
   run d2_mmmf_seeds_check "$E/10x10_discrete2_d2" $EXP 10x10_discrete2_d2 --seeds 4 --check
 fi
 
-# ---- 10. final all-dirs acceptance sweep --------------------------------
+# ---- 12. final all-dirs acceptance sweep ---------------------------------
 for e in 10x10_discrete2_d2 10x10_discrete4_d4 criteria_10x10_r1 \
          movielens-100k-from5pct-test5pct movielens-75k-from5pct-test5pct \
          movielens-58k-from5pct-test5pct-15d movielens-58k-newmovies-10pct-10d \
