@@ -445,6 +445,66 @@ def catalog() -> Dict[str, Experiment]:
         },
     )
 
+    # ---- discrete criteria-agreement micro-workload, ALL FIVE families
+    # (results/criteria/10x10_r1_u10_v10_1step_discrete/Makefile:36-96):
+    # 2-step runs of stan/mnpmf/apmf/mmmf/rc on one discrete 10x10 dataset —
+    # the reference's cross-family first-step comparison experiment (the
+    # data compare_firsts.py's beanplot grids consume). The reference dir
+    # commits no data.pkl (its gen.py target was never run into the tree);
+    # the data recipe is the discrete2_d2 generator. Cheap enough to run
+    # with --seeds N for replicate violin grids.
+    exps["criteria_10x10_1step_discrete"] = Experiment(
+        name="criteria_10x10_1step_discrete",
+        source="results/criteria/10x10_r1_u10_v10_1step_discrete/Makefile",
+        data_cmd=[
+            "amf_tpu.run.generate", "--rows", "10", "--cols", "10",
+            "--rank", "2", "--known-pos", "10", "--unknown-pos", "90",
+            "--cutoff", "0", "{data}",
+        ],
+        runs={
+            # Makefile:37-49: stan --discrete, s200/w100, la s100/w50,
+            # test-set all, 2 steps, all keys
+            "stan": [
+                "amf_tpu.run.bpmf", "--load-data", "{data}",
+                "--latent-d", "2", "--no-subtract-mean", "--float32",
+                "--test-set", "all",
+                "--samps", "200", "--warmup", "100",
+                "--lookahead-samps", "100", "--lookahead-warmup", "50",
+                "--steps", "2",
+                "--save-results", "{out}/results_stan.pkl", "--no-verbose",
+            ],
+            # Makefile:51-60 / :62-71: mnpmf / apmf --discrete
+            # refit-lookahead, 2 steps, all keys
+            "mnpmf": [
+                "amf_tpu.run.active_pmf", "--model", "mn",
+                "--load-data", "{data}",
+                "--latent-d", "2", "--discrete-integration",
+                "--refit-lookahead", "--steps", "2",
+                "--save-results", "{out}/results_mnpmf.pkl", "--no-verbose",
+            ],
+            "apmf": [
+                "amf_tpu.run.active_pmf", "--load-data", "{data}",
+                "--latent-d", "2", "--discrete-integration",
+                "--refit-lookahead", "--steps", "2",
+                "--save-results", "{out}/results_apmf.pkl", "--no-verbose",
+            ],
+            # Makefile:73-82: mmmf -C 1 --cutoff 3.5, 2 steps, all selectors
+            "mmmf": [
+                "amf_tpu.run.active_mmmf", "--load-data", "{data}",
+                "--cutoff", "3.5", "-C", "1", "--steps", "2",
+                "--save-results", "{out}/results_mmmf.pkl", "--no-verbose",
+            ],
+            # Makefile:84-94: rc --delta 1.5 --pred-mean, 2 steps,
+            # entropy random
+            "rc": [
+                "amf_tpu.run.active_rc", "--load-data", "{data}",
+                "--delta", "1.5", "--pred-mode", "--steps", "2",
+                "--save-results", "{out}/results_rc.pkl", "--no-verbose",
+                "entropy", "random",
+            ],
+        },
+    )
+
     # ---- sampler-robustness variants of the d2 workload
     # (results/10x10_discrete2_d2/Makefile:56-115): the reference's own
     # cross-density / sampler-budget consistency experiment — the
