@@ -65,8 +65,22 @@ wait_for_tpu() {
   done
 }
 
+# total utime+stime (ticks) of every process in one process group: an
+# additional progress signal for the stall watchdog. Long device-bound
+# dispatch loops (e.g. host-tiled criterion maps) can produce NO file
+# changes for >STALL_SEC while legitimately computing; a genuinely hung
+# client (dead relay: blocked in poll) burns no CPU and still trips the
+# fuse. /proc stat field 2 (comm) may contain spaces — split after the
+# final ')'.
+cpu_of_group() {
+  awk -v pg="$1" '
+    { i = match($0, /\)[^)]*$/); n = split(substr($0, i + 2), a, " ");
+      if (n >= 13 && a[3] == pg) t += a[12] + a[13] }
+    END { print t + 0 }' /proc/[0-9]*/stat 2>/dev/null
+}
+
 # run <tag> <watch_dir> <cmd...> — job in its own process group, stall
-# watchdog scoped to the job log + watch_dir
+# watchdog scoped to the job log + watch_dir + group CPU time
 run() {
   local tag="$1"; shift
   local watch="$1"; shift
@@ -83,12 +97,19 @@ run() {
   local log="experiments/logs/r7_${tag}.log"
   setsid "$@" >> "$log" 2>&1 &
   local pid=$!
-  local last_change rc
+  local last_change rc cpu_now
+  local last_cpu=0
   last_change=$(date +%s)
   while kill -0 "$pid" 2>/dev/null; do
     sleep 30
-    if [[ -n "$(find "$watch" "$log" -newermt "@${last_change}" -print -quit 2>/dev/null)" ]]; then
+    cpu_now=$(cpu_of_group "$pid")
+    # >=1 CPU-second since the last progress mark (~3% of one 30 s window):
+    # real dispatch loops run >=10%; idle-blocked clients and low-rate
+    # heartbeat threads don't clear it
+    if [[ -n "$(find "$watch" "$log" -newermt "@${last_change}" -print -quit 2>/dev/null)" ]] \
+       || (( cpu_now > last_cpu + 100 )); then
       last_change=$(date +%s)
+      last_cpu=$cpu_now
     elif (( $(date +%s) - last_change > STALL_SEC )); then
       echo "=== $(date +%H:%M:%S) $tag STALLED >$((STALL_SEC / 60)) min; killing group $pid" | tee -a "$QLOG"
       kill -- "-$pid" 2>/dev/null
@@ -156,9 +177,24 @@ run d2_check "$E/10x10_discrete2_d2" $EXP 10x10_discrete2_d2 --check
 run d2_cross_density "$E/10x10_discrete2_d2" python scripts/compare_sampler_budgets.py
 
 # ---- 4. 75k pred noise-floor probe (VERDICT weak #8) ---------------------
+# data.npz is gitignored; the standalone probe reads it directly
+run 75k_data "$E/movielens-75k-from5pct-test5pct" $EXP movielens-75k-from5pct-test5pct --only data-prep-only
 if [[ ! -f $E/movielens-75k-from5pct-test5pct/adjudication_noise_floor_pred.json ]]; then
   run 75k_pred_probe "$E/movielens-75k-from5pct-test5pct" python scripts/adjudicate_75k_pred.py
 fi
+
+# ---- 4b. criteria 1step_discrete: the reference's 2-step all-five-family
+# comparison workload (results/criteria/10x10_r1_u10_v10_1step_discrete/
+# Makefile) — main-dir stan arm (the four CPU arms were run off-queue),
+# then 4 seed replicates for the compare_firsts violin grids
+CD=$E/criteria_10x10_1step_discrete
+run crit1step_stan "$CD" $EXP criteria_10x10_1step_discrete --only stan
+run crit1step_check "$CD" $EXP criteria_10x10_1step_discrete --check
+run crit1step_seeds "$CD" $EXP criteria_10x10_1step_discrete --seeds 4
+run crit1step_seeds_check "$CD" $EXP criteria_10x10_1step_discrete --seeds 4 --check
+run crit1step_violin "$CD" python -m amf_tpu.run.compare_firsts \
+  --grid-key pred-variance --names apmf mnpmf stan \
+  --outdir "$CD/plots" "$CD/seed1" "$CD/seed2" "$CD/seed3" "$CD/seed4"
 
 # ---- 5. era-consistent 58k-15d random arm, spliced at the digest level --
 D=$E/movielens-58k-from5pct-test5pct-15d
@@ -252,6 +288,10 @@ run 100k_mmmf "$E/movielens-100k-from5pct-test5pct" $EXP movielens-100k-from5pct
 run 100k_check "$E/movielens-100k-from5pct-test5pct" $EXP movielens-100k-from5pct-test5pct --check
 run 75k_mmmf "$E/movielens-75k-from5pct-test5pct" $EXP movielens-75k-from5pct-test5pct --only mmmf
 run 75k_check "$E/movielens-75k-from5pct-test5pct" $EXP movielens-75k-from5pct-test5pct --check
+# the MN model's 472x413 at-scale reason-to-exist (VERDICT missing #2/#3;
+# reference Makefile:61-73 results_mnpmf_nolookahead_200steps)
+run 58k15d_mnpmf "$D" $EXP movielens-58k-from5pct-test5pct-15d --only mnpmf
+run 58k15d_mnpmf_check "$D" $EXP movielens-58k-from5pct-test5pct-15d --check
 
 # ---- 11. remaining era-hygiene re-records --------------------------------
 if ! era_current "$E/10x10_discrete4_d4/digest_stan.json.gz" sampler_era esjd; then
