@@ -11,16 +11,27 @@ Environment quirks this handles (documented in .claude/skills/verify/SKILL.md):
 from __future__ import annotations
 
 
-def _enable_compile_cache(jax) -> None:
+def _enable_compile_cache(jax, platform=None) -> None:
     """Persistent executable cache shared across processes.
 
     First compiles on the accelerator go through a remote-compile HTTP
     helper and can take MINUTES per program (the bench headline tile
     measured 663 s); the persistent cache makes every later process pay
     ~1 s instead (measured cross-process on the axon backend). Opt out
-    with AMF_COMPILE_CACHE=0, or point it elsewhere with a path."""
+    with AMF_COMPILE_CACHE=0, or point it elsewhere with a path.
+
+    CPU-backend processes never enable it: in this environment even
+    XLA:CPU compiles can route through the remote helper, whose host has
+    different machine features — the AOT loader then warns
+    "could lead to execution errors such as SIGILL" on every load
+    (observed round 4 on the d4 rc arm). Local CPU compiles are fast;
+    the cache only ever pays for accelerator programs. ``platform`` is
+    the effective platform when the caller knows it ("cpu" skips);
+    callers on the accelerator path pass "tpu" or leave it None."""
     import os
 
+    if platform == "cpu":
+        return
     cache = os.environ.get("AMF_COMPILE_CACHE")
     if cache == "0":
         return
@@ -48,16 +59,17 @@ def setup(use_x64: bool) -> str:
 
     import jax
 
-    _enable_compile_cache(jax)
-
     forced = os.environ.get("AMF_PLATFORM")
     if forced:
         jax.config.update("jax_platforms", forced)
+        _enable_compile_cache(jax, platform=forced)
         if use_x64:
             jax.config.update("jax_enable_x64", True)
         return jax.default_backend()
 
     if use_x64:
+        # f64 linalg is CPU-only here; no persistent cache on CPU (see
+        # _enable_compile_cache docstring)
         jax.config.update("jax_enable_x64", True)
         try:
             jax.config.update("jax_platforms", "cpu")
@@ -66,8 +78,10 @@ def setup(use_x64: bool) -> str:
         return jax.default_backend()
 
     try:
-        return jax.default_backend()
+        backend = jax.default_backend()
     except RuntimeError:
         # configured platform failed to initialize (e.g. stale JAX_PLATFORMS)
         jax.config.update("jax_platforms", "")
-        return jax.default_backend()
+        backend = jax.default_backend()
+    _enable_compile_cache(jax, platform=backend)
+    return backend

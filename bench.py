@@ -288,15 +288,17 @@ def _probe_accelerator(timeout_s: float = 180.0) -> bool:
 
 
 def main():
-    # persistent compile cache: first compiles through the remote-compile
-    # helper take minutes (the exp-variance tile measured 663 s); cached
-    # executables load in ~1 s in any later process (utils/platform.py)
-    from amf_tpu.utils.platform import _enable_compile_cache
-    import jax as _jax
-
-    _enable_compile_cache(_jax)
-
     accel = _probe_accelerator()
+    if accel:
+        # persistent compile cache (accelerator only): first compiles
+        # through the remote-compile helper take minutes (the exp-variance
+        # tile measured 663 s); cached executables load in ~1 s in any
+        # later process (utils/platform.py; CPU runs skip it — remote-built
+        # CPU AOT entries carry foreign machine features)
+        from amf_tpu.utils.platform import _enable_compile_cache
+        import jax as _jax
+
+        _enable_compile_cache(_jax, platform="tpu")
     if not accel:
         from amf_tpu.utils.platform import setup as platform_setup
         import os
