@@ -537,6 +537,30 @@ def catalog() -> Dict[str, Experiment]:
             "--no-verbose",
             "random", "pred-variance", "pred", "prob-ge-3.5",
         ]
+    # Makefile:90-100: an independent replicate of the s10000 arm ("_b") —
+    # the reference's own sampler-repeatability probe at the largest
+    # budget; fresh chains via a different seed
+    d2_runs["stan_s10000_b"] = [
+        "amf_tpu.run.bpmf", "--load-data", "{data}",
+        "--latent-d", "2", "--no-subtract-mean", "--float32",
+        "--samps", "10000", "--warmup", "200", "--seed", "1",
+        "--checkpoint", "{out}/ckpt_stan_s10000_b.pkl",
+        "--save-results", "{out}/results_stan_s10000_b.pkl",
+        "--no-verbose",
+        "random", "pred-variance", "pred", "prob-ge-3.5",
+    ]
+    # Makefile:114-125: straightforward density at the 2x budget, direct
+    # keys only — crosses density x budget in the consistency grid
+    d2_runs["stan_straightforward_s400"] = [
+        "amf_tpu.run.bpmf", "--load-data", "{data}",
+        "--latent-d", "2", "--no-subtract-mean", "--float32",
+        "--model-filename", "bpmf_straightforward.stan",
+        "--samps", "400", "--warmup", "200",
+        "--checkpoint", "{out}/ckpt_stan_straightforward_s400.pkl",
+        "--save-results", "{out}/results_stan_straightforward_s400.pkl",
+        "--no-verbose",
+        "random", "pred-variance", "pred", "prob-ge-3.5",
+    ]
     exps["10x10_discrete2_d2"] = d2._replace(runs=d2_runs)
 
     # ---- remaining d4 families (results/10x10_discrete4_d4/Makefile:78-96):

@@ -242,5 +242,5 @@ def test_experiment_skip_reasons(tmp_path):
 
     # the catalog parses and every entry names its reference source
     cat = experiment.catalog()
-    assert len(cat) == 11
+    assert len(cat) == 12
     assert all(e.source for e in cat.values())
