@@ -101,4 +101,12 @@ run d2_s10000_b "$E/10x10_discrete2_d2" \
 run d2_check "$E/10x10_discrete2_d2" $EXP 10x10_discrete2_d2 --check
 run d2_cross_density "$E/10x10_discrete2_d2" python scripts/compare_sampler_budgets.py
 
+# 75k bayes: in the catalog since round 2 (VERDICT r3 missing #2's
+# "catalog-extra bayes") but never recorded — the only catalog arm with
+# neither a committed digest nor a queued job
+run 75k_bayes "$E/movielens-75k-from5pct-test5pct" \
+  $EXP movielens-75k-from5pct-test5pct --only bayes
+run 75k_bayes_check "$E/movielens-75k-from5pct-test5pct" \
+  $EXP movielens-75k-from5pct-test5pct --check
+
 echo "=== $(date +%H:%M:%S) R8 QUEUE DONE" | tee -a "$QLOG"
