@@ -293,28 +293,44 @@ def check_results(results: Dict, kind: Optional[str] = None,
         crit_meta = results.get("_criteria_meta") or {}
         e0 = {s: float(errs[0]) for s, (ns, errs) in curves.items()
               if len(errs)}
-        lo_s = min(e0, key=e0.get)
-        hi_s = max(e0, key=e0.get)
-        lo, hi = e0[lo_s], e0[hi_s]
-        rel = (hi - lo) / max((hi + lo) / 2.0, 1e-12)
-        spliced = sorted(s for s, m in crit_meta.items() if "spliced" in m)
-        if rel <= 0.02:
-            status, note = "pass", "arms share the initial state"
-        elif rel <= 0.08:
-            status = "warn"
-            note = ("initial errs differ beyond MC noise"
-                    if not spliced else
-                    f"initial errs differ; spliced arms: {spliced}")
-        else:
-            status = "fail"
-            note = ("initial errs inconsistent — arms look MIXED-ERA "
-                    "(stale checkpoint resumed next to re-recorded arms?)")
-        rows.append({
-            "check": "initial_consistency", "key": "all-arms",
-            "status": status,
-            "detail": f"err[0] spread {rel * 100:.1f}% "
-                      f"({lo_s} {lo:.4f} .. {hi_s} {hi:.4f}) ({note})",
-        })
+        # a NaN err[0] would fall through every band below (NaN compares
+        # false) into a spurious MIXED-ERA fail with arbitrary lo/hi arms;
+        # it is a numeric pathology, not a provenance defect — name it,
+        # and run the spread bands on the finite arms only
+        nan_arms = sorted(s for s, v in e0.items() if not np.isfinite(v))
+        if nan_arms:
+            rows.append({
+                "check": "initial_consistency", "key": "all-arms",
+                "status": "fail",
+                "detail": f"non-finite err[0] in arms {nan_arms} "
+                          "(numeric pathology; see structural rows)",
+            })
+            e0 = {s: v for s, v in e0.items() if np.isfinite(v)}
+        if len(e0) > 1:
+            lo_s = min(e0, key=e0.get)
+            hi_s = max(e0, key=e0.get)
+            lo, hi = e0[lo_s], e0[hi_s]
+            rel = (hi - lo) / max((hi + lo) / 2.0, 1e-12)
+            spliced = sorted(
+                s for s, m in crit_meta.items() if "spliced" in m)
+            if rel <= 0.02:
+                status, note = "pass", "arms share the initial state"
+            elif rel <= 0.08:
+                status = "warn"
+                note = ("initial errs differ beyond MC noise"
+                        if not spliced else
+                        f"initial errs differ; spliced arms: {spliced}")
+            else:
+                status = "fail"
+                note = ("initial errs inconsistent — arms look MIXED-ERA "
+                        "(stale checkpoint resumed next to re-recorded "
+                        "arms?)")
+            rows.append({
+                "check": "initial_consistency", "key": "all-arms",
+                "status": status,
+                "detail": f"err[0] spread {rel * 100:.1f}% "
+                          f"({lo_s} {lo:.4f} .. {hi_s} {hi:.4f}) ({note})",
+            })
 
     for short, (ns, errs) in curves.items():
         if short in _RMSE_UNINFORMATIVE or short in _RMSE_CONTROL:
@@ -564,9 +580,15 @@ def check_experiment_dir(outdir: str,
     # checkout (or after a cleanup); committed digest_*.json.gz files are
     # the durable artifact — fall back to them so the acceptance bands are
     # reproducible from committed artifacts alone
+    # *_fresh artifacts are splice temps (scripts/splice_digest_key.py:
+    # a single-key re-run awaiting merge into a committed digest) — not
+    # durable runs; digesting one would leave a phantom single-arm "run"
+    # in the dir, and while the pickle exists it would hijack by_kind for
+    # its engine, suppressing the real cross-engine rows
     sources: List[Tuple[str, str]] = [
         (p, "pickle")
         for p in sorted(glob.glob(os.path.join(outdir, "results_*.pkl")))
+        if not p.endswith("_fresh.pkl")
     ]
     pkl_stems = {
         os.path.basename(p)[len("results_"):-len(".pkl")]
@@ -574,7 +596,7 @@ def check_experiment_dir(outdir: str,
     }
     for dpath in sorted(glob.glob(os.path.join(outdir, "digest_*.json.gz"))):
         stem = os.path.basename(dpath)[len("digest_"):-len(".json.gz")]
-        if stem not in pkl_stems:
+        if stem not in pkl_stems and not stem.endswith("_fresh"):
             sources.append((dpath, "digest"))
 
     for path, src in sources:

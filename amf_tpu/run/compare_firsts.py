@@ -10,6 +10,7 @@ framework against reference outputs or across our own model families.
 from __future__ import annotations
 
 import argparse
+import itertools
 
 import numpy as np
 
@@ -47,7 +48,6 @@ def _violin_grid(vals, names, title, path):
     """Distribution grid over replicates for each family pair (reference
     compare_firsts.beanplot_grid :64-92; statsmodels beanplot -> matplotlib
     violinplot). Upper triangle; degenerate distributions drawn as a line."""
-    import itertools
 
     import matplotlib
 
@@ -108,18 +108,21 @@ def _grid_mode(args):
         nn = len(names)
         tau = np.full((nn, nn), np.nan)
         rms = np.full((nn, nn), np.nan)
-        for i in range(nn):
-            for j in range(nn):
-                ea, eb = maps[names[i]], maps[names[j]]
-                if ea.shape != eb.shape:
-                    continue
-                ok = np.isfinite(ea) & np.isfinite(eb)
-                if ok.sum() < 8:
-                    continue
-                tau[i, j] = stats.kendalltau(ea[ok], eb[ok]).statistic
-                za = (ea[ok] - ea[ok].mean()) / (ea[ok].std() + 1e-12)
-                zb = (eb[ok] - eb[ok].mean()) / (eb[ok].std() + 1e-12)
-                rms[i, j] = np.sqrt(np.mean((za - zb) ** 2))
+        # upper triangle only — the grid is symmetric and the plot only
+        # reads i<=j, so the full nn x nn loop would double the
+        # O(n log n)-per-pair tau work on the one-core host
+        for i, j in itertools.combinations_with_replacement(range(nn), 2):
+            ea, eb = maps[names[i]], maps[names[j]]
+            if ea.shape != eb.shape:
+                continue
+            ok = np.isfinite(ea) & np.isfinite(eb)
+            if ok.sum() < 8:
+                continue
+            tau[i, j] = tau[j, i] = stats.kendalltau(
+                ea[ok], eb[ok]).statistic
+            za = (ea[ok] - ea[ok].mean()) / (ea[ok].std() + 1e-12)
+            zb = (eb[ok] - eb[ok].mean()) / (eb[ok].std() + 1e-12)
+            rms[i, j] = rms[j, i] = np.sqrt(np.mean((za - zb) ** 2))
         taus.append(tau)
         rmses.append(rms)
         used.append(d)

@@ -767,7 +767,11 @@ def _skip_reason(result_path: Optional[str], force: bool,
     gitignored, lost on a fresh checkout) and the committed digest (the
     cross-session record of a completed arm). --force reruns regardless;
     --redo reruns digest-only arms (a deliberate re-record) but still
-    respects an existing pickle.
+    respects an existing pickle. A surviving different-era checkpoint
+    cannot poison a --redo: the CLI's LoopCheckpointer moves it aside and
+    re-records from scratch (utils/checkpoint.py era guard); a SAME-era
+    checkpoint resumes, which is what lets killed re-records continue
+    across sessions.
     """
     if not result_path or force:
         return None

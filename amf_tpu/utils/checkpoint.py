@@ -16,6 +16,7 @@ from __future__ import annotations
 import hashlib
 import os
 import pickle
+import sys
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -75,14 +76,21 @@ class LoopCheckpointer:
             # old- and new-engine behavior in one trace (the 58k-15d random
             # arm regression, experiments/README.md), and the run-time era
             # stamp would then mislabel the whole run as current-era.
+            # Discard and re-record instead of raising: resuming is never
+            # right across eras, and an unattended era-hygiene `--redo`
+            # (r7_queue.sh section 9) must not die on a surviving stale
+            # checkpoint and leave the old digest certified. The stale file
+            # is moved aside, not deleted.
             stored_era = self._state.get("_era", "pre-era")
             if era is not None and self._state and stored_era != era:
-                raise ValueError(
+                stale = path + ".stale-era"
+                os.replace(path, stale)
+                sys.stderr.write(
                     f"checkpoint {path} was written by engine era "
                     f"{stored_era!r} but the current engine is {era!r}; "
-                    "refusing to resume a mixed-era trace — delete the "
-                    "checkpoint to re-record from scratch"
+                    f"moved it to {stale} and re-recording from scratch\n"
                 )
+                self._state = {}
 
     @classmethod
     def for_problem(cls, path: Optional[str], problem, real,

@@ -218,9 +218,16 @@ def bench_vn_total_variance(jax, jnp):
     # same work as a stream of bounded tile programs is stable — the
     # identical fix that carried the 70x306 exp-variance sweep.
     vt = 64
-    n_cand = (len(cand_all) // vt) * vt
-    tiles = [jnp.asarray(cand_all[t:t + vt], jnp.int32)
-             for t in range(0, n_cand, vt)]
+    n_cand = len(cand_all)
+    # pad the tail tile (repeat the last candidate) so every candidate is
+    # measured under ONE compiled shape and a <64-candidate sweep cannot
+    # index an empty tile list; the rate counts only the real candidates,
+    # so padded duplicate lanes make the number slightly conservative
+    padded = np.concatenate([
+        cand_all, np.full((-len(cand_all)) % vt, cand_all[-1], cand_all.dtype)
+    ])
+    tiles = [jnp.asarray(padded[t:t + vt], jnp.int32)
+             for t in range(0, len(padded), vt)]
     fn = jax.jit(lambda k, c: lookahead_scores(
         crit, pst, ast, prob, k, pcfg, adapter, lcfg, cand=c))
     jax.block_until_ready(fn(key, tiles[0]))

@@ -127,6 +127,12 @@ CRITERION_ERA = {
 }
 
 
+def _rev_exists(rev: str) -> bool:
+    return subprocess.run(
+        ["git", "rev-parse", "--verify", "--quiet", rev + "^{commit}"],
+        cwd=REPO, capture_output=True).returncode == 0
+
+
 def _is_ancestor(a: str, b: str) -> bool:
     return subprocess.run(["git", "merge-base", "--is-ancestor", a, b],
                           cwd=REPO).returncode == 0
@@ -150,6 +156,14 @@ def stamp_pickles() -> None:
             print(f"SKIP {path}: no git-rev note")
             continue
         rev = revs[0].removesuffix("-dirty")
+        # an UNRESOLVABLE rev must not silently stamp the stale era (the
+        # merge-base exit code for 'unknown revision' equals 'not an
+        # ancestor'): a current-era run mislabeled stale would be
+        # re-recorded for nothing — leave it unstamped and loud instead
+        if not _rev_exists(rev):
+            print(f"SKIP {path}: git-rev {rev[:12]} does not resolve "
+                  "in this repo; not stamping")
+            continue
         boundary = NUTS_BOUNDARY if kind == "stan" else MMMF_BOUNDARY
         current = ("esjd-leapfrog-v1" if kind == "stan" else "eigh-svt-v1")
         stale = "pre-esjd" if kind == "stan" else "pre-eigh-svt"

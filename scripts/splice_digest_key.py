@@ -62,14 +62,12 @@ def main():
     rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                          capture_output=True, text=True).stdout.strip()
     entry["spliced"] = f"fresh single-key re-run merged at git-rev {rev}"
-    # per-arm era note so mixed-era digests stay detectable after a splice
+    # per-arm era note so mixed-era digests stay detectable after a splice;
+    # the digest-LEVEL era field is deliberately left untouched — it
+    # describes the other (unspliced) arms
     for era_field in ("sampler_era", "solver_era"):
         if fresh.get(era_field) is not None:
             entry["era"] = fresh[era_field]
-            if target.get(era_field) in (None, "pre-era"):
-                # every other arm predates run-time stamping; the splice
-                # does NOT upgrade the digest-level era
-                pass
     target["criteria"][key] = entry
     with gzip.open(digest_path, "wt") as f:
         json.dump(target, f)

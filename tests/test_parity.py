@@ -53,6 +53,44 @@ def test_initial_consistency_flags_mixed_era_arms():
     assert ok["status"] == "pass", ok
 
 
+def test_initial_consistency_names_nan_arms():
+    """A NaN err[0] must be reported as a numeric pathology, not fall
+    through the spread bands (NaN compares false) into a spurious
+    MIXED-ERA verdict with arbitrary lo/hi arms; the finite arms still
+    get the normal spread check."""
+    res = _fake_results([1.0, 0.8, 0.6, 0.5])
+    rand = res["random"]
+    res["random"] = [(rand[0][0], float("nan"), None, None)] + rand[1:]
+    rows = parity.check_results(res, "apmf")
+    ic = [r for r in rows if r["check"] == "initial_consistency"]
+    nan_row = [r for r in ic if "non-finite" in r["detail"]]
+    assert nan_row and nan_row[0]["status"] == "fail"
+    assert "random" in nan_row[0]["detail"]
+    assert not any("MIXED-ERA" in r["detail"] for r in ic)
+
+
+def test_check_dir_skips_splice_fresh_temps(tmp_path):
+    """results_*_fresh.pkl / digest_*_fresh.json.gz are splice temps
+    (scripts/splice_digest_key.py), not durable runs: check_experiment_dir
+    must not digest them into phantom arms or let them hijack the
+    cross-engine by_kind slot."""
+    import glob
+    import os
+    import pickle
+
+    res = _fake_results([1.0, 0.8, 0.6, 0.5], kind="stan")
+    with open(tmp_path / "results_stan.pkl", "wb") as f:
+        pickle.dump(res, f)
+    fresh = _fake_results([2.0, 1.8, 1.7, 1.6], kind="stan")
+    with open(tmp_path / "results_stan_random_fresh.pkl", "wb") as f:
+        pickle.dump(fresh, f)
+    rows, _ = parity.check_experiment_dir(str(tmp_path))
+    assert all(r["run"] != "stan_random_fresh" for r in rows)
+    made = {os.path.basename(p)
+            for p in glob.glob(str(tmp_path / "digest_*.json.gz"))}
+    assert made == {"digest_stan.json.gz"}
+
+
 def test_check_results_fail_on_worsening():
     res = _fake_results([1.0, 1.2, 1.4, 1.5])
     rows = parity.check_results(res, "apmf")

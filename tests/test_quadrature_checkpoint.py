@@ -126,27 +126,35 @@ def test_checkpoint_fingerprint_guard(tmp_path):
 
 
 def test_checkpoint_era_guard(tmp_path):
-    """A checkpoint written by one engine era refuses to resume under
-    another (mixed-era traces are the 58k-15d random-arm failure mode);
-    era-less legacy checkpoints count as 'pre-era' and also refuse."""
+    """A checkpoint written by one engine era must not be RESUMED under
+    another (mixed-era traces are the 58k-15d random-arm failure mode) —
+    it is moved aside and the run re-records from scratch, so unattended
+    era-hygiene `--redo` queue jobs cannot die on a surviving stale
+    checkpoint. Era-less legacy checkpoints count as 'pre-era'."""
+    import os
+
     from amf_tpu.utils.checkpoint import LoopCheckpointer
 
     path = str(tmp_path / "era.pkl")
     ck = LoopCheckpointer(path, era="esjd-leapfrog-v1")
     ck.update("random", [(4, 1.0, None, None)], force=True)
     # same era: resumes
-    LoopCheckpointer(path, era="esjd-leapfrog-v1")
+    assert LoopCheckpointer(
+        path, era="esjd-leapfrog-v1").completed_records("random")
     # era-agnostic caller (no era arg): resumes
-    LoopCheckpointer(path)
-    # different era: refuses
-    with pytest.raises(ValueError, match="engine era"):
-        LoopCheckpointer(path, era="esjd-leapfrog-v2")
+    assert LoopCheckpointer(path).completed_records("random")
+    # different era: stale ckpt moved aside, fresh start
+    ck2 = LoopCheckpointer(path, era="esjd-leapfrog-v2")
+    assert ck2.completed_records("random") is None
+    assert not os.path.exists(path)
+    assert os.path.exists(path + ".stale-era")
 
     legacy = str(tmp_path / "legacy.pkl")
     ck = LoopCheckpointer(legacy)  # written before era stamping existed
     ck.update("random", [(4, 1.0, None, None)], force=True)
-    with pytest.raises(ValueError, match="pre-era"):
-        LoopCheckpointer(legacy, era="esjd-leapfrog-v1")
+    ck3 = LoopCheckpointer(legacy, era="esjd-leapfrog-v1")
+    assert ck3.completed_records("random") is None
+    assert os.path.exists(legacy + ".stale-era")
 
 
 def test_checkpoint_strips_eval_matrices(tmp_path):
