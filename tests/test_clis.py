@@ -214,6 +214,39 @@ def test_choose_training_and_generate_clis(tmp_path):
     assert data["_real"].shape == (8, 8)
 
 
+def test_bpmf_cli_discards_stale_era_checkpoint(data_file, tmp_path):
+    """A checkpoint from a different engine era must be discarded, not
+    resumed and not crashed on: unattended era-hygiene --redo queue jobs
+    (scripts/r7_queue.sh section 9) depend on the CLI re-recording from
+    scratch when only a stale-era checkpoint survives."""
+    import pickle as pkl
+
+    from amf_tpu.run import bpmf
+
+    ckpt = str(tmp_path / "ck.pkl")
+    out = str(tmp_path / "s.pkl")
+    argv = [
+        "--load-data", data_file, "-D", "2", "-s", "2", "-S", "10", "-W", "6",
+        "--checkpoint", ckpt, "--no-verbose", "--save-results", out, "random",
+    ]
+    bpmf.main(argv)
+    first = pickle.load(open(out, "rb"))
+    assert len(first["random"]) == 2
+
+    # forge a stale engine era into the surviving checkpoint
+    with open(ckpt, "rb") as f:
+        state = pkl.load(f)
+    assert state.get("_era")  # run-time stamping is on
+    state["_era"] = "pre-esjd"
+    with open(ckpt, "wb") as f:
+        pkl.dump(state, f)
+
+    bpmf.main(argv)  # must re-record, not raise / not resume stale picks
+    second = pickle.load(open(out, "rb"))
+    assert len(second["random"]) == 2
+    assert os.path.exists(ckpt + ".stale-era")
+
+
 def test_experiment_skip_reasons(tmp_path):
     """Digest-level skip semantics: a committed digest marks an arm done
     across fresh checkouts (raw pickles are gitignored), --redo re-records
