@@ -478,6 +478,14 @@ def aggregate_seed_checks(
             rand = crits.get("random") or {}
             rand_auc = rand.get("auc")
             for key, c in crits.items():
+                # AUC-over-steps bands need a horizon to integrate: on the
+                # 2-step criteria-comparison workloads (reference
+                # 1step_discrete) discovery counts are 0/1/2 and the
+                # per-seed ratios collapse to {0, 1} — pure noise. Those
+                # workloads are judged by first-step map agreement
+                # (compare_firsts violin grids), not learning curves.
+                if len(c.get("n_rated") or ()) < 10:
+                    continue
                 cutoff = _ge_cutoff(key)
                 if cutoff is not None:
                     # discovery keys aggregate on count-≥-cutoff AUC

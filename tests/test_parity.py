@@ -165,14 +165,18 @@ def test_aggregate_seed_checks(tmp_path):
     import json
 
     # three seed dirs; pred-variance beats random in 2 of 3 but loses in
-    # one — the seed-mean ratio decides, per-seed noise does not
+    # one — the seed-mean ratio decides, per-seed noise does not. The
+    # horizon must span >=10 steps or the AUC band is uninformative
+    # (2-step criteria-comparison workloads) and is skipped entirely.
+    ns = list(range(4, 16))
+    errc = [1.0 - 0.01 * t for t in range(len(ns))]
     for k, ratio in enumerate([0.9, 0.95, 1.02]):
         d = tmp_path / f"seed{k+1}"
         d.mkdir()
         dg = {"criteria": {
-            "random": {"auc": 100.0, "err": [1.0, 0.9], "n_rated": [4, 5]},
-            "pred-variance": {"auc": 100.0 * ratio, "err": [1.0, 0.8],
-                              "n_rated": [4, 5]},
+            "random": {"auc": 100.0, "err": errc, "n_rated": ns},
+            "pred-variance": {"auc": 100.0 * ratio, "err": errc,
+                              "n_rated": ns},
         }}
         with gzip.open(d / "digest_apmf.json.gz", "wt") as f:
             json.dump(dg, f)
@@ -184,6 +188,20 @@ def test_aggregate_seed_checks(tmp_path):
     assert r["key"] == "apmf:pred-variance"
     assert r["status"] == "pass"  # mean ratio ~0.957 < 1
     assert "3 seeds" in r["detail"]
+
+    # a 2-step horizon produces NO seed band rows (degenerate AUC)
+    for k in (1, 2, 3):
+        d = tmp_path / f"seed{k}"
+        dg = {"criteria": {
+            "random": {"auc": 1.0, "err": [1.0, 0.9], "n_rated": [4, 5]},
+            "prob-ge-3.5": {"auc": 0.5, "err": [1.0, 0.8], "n_rated": [4, 5],
+                            "pick_vals": [None, 4.0]},
+        }}
+        with gzip.open(d / "digest_apmf.json.gz", "wt") as f:
+            json.dump(dg, f)
+    assert parity.aggregate_seed_checks(
+        [str(tmp_path / f"seed{k}") for k in (1, 2, 3)],
+        strict_active=True) == []
 
 
 def test_check_results_structural_fail_on_nan():
