@@ -33,6 +33,12 @@ ARMS = {
     "straightforward_s200": "digest_stan_straightforward.json.gz",
     "w0identity_s400": "digest_stan_s400.json.gz",
     "w0identity_s10000": "digest_stan_s10000.json.gz",
+    # independent replicate of the largest budget (reference Makefile's
+    # '_b' target) — same config, fresh chains: its tau vs w0identity_s10000
+    # is the repeatability ceiling every other pair is read against
+    "w0identity_s10000_b": "digest_stan_s10000_b.json.gz",
+    # straightforward density at the 2x budget (crosses density x budget)
+    "straightforward_s400": "digest_stan_straightforward_s400.json.gz",
     "gibbs_s200": "digest_bayes.json.gz",
 }
 
