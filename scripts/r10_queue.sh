@@ -1,0 +1,151 @@
+#!/usr/bin/env bash
+# ROUND-5 KICKOFF QUEUE — the complete remaining workload backlog after
+# round 4, ordered most-decisive-per-chip-minute first. Everything here is
+# durable (digest-level skip via run.experiment; checkpoints resume), so
+# the queue is safe to re-launch after any crash.
+#
+#   1. resume the 100k stan era re-record (r9 started it; ckpt resumes;
+#      clears the last known-defective certified artifact, VERDICT r3 #2)
+#   2. fresh era-consistent 58k-15d random arm + digest splice (clears the
+#      standing honest initial_consistency FAIL in its parity report)
+#   3. db94 stan 4-seed replicates (adjudicates the standing strict-band
+#      hard_ok=False — VERDICT r3 #3; ~55 min/seed, per-seed digests land
+#      durably at the --check)
+#   4. resume the d4 apmf arm (ckpt mid-sweep at ~61/91 of key 3/15)
+#   5. mmmf re-records on the repaired eigh-SVT solver (purged
+#      newmovies-20d first, then 58k-15d, then the cheap d2 era re-record)
+#   6. the MN-at-scale arms (db94 + db5to1 + 58k-15d mnpmf — the model's
+#      stated at-scale purpose, mn_active_pmf.py:119)
+#   7. remaining reference-Makefile families: nm10d plain stan + mmmf,
+#      75k bayes, 100k + 75k mmmf
+#   8. crit1step stan arm + 4-seed violin grids (compare_firsts beanplot
+#      analogue)
+#   9. db5to1 stan era re-record (last pre-esjd stan digest)
+#  10. db94/db5to1 mmmf era re-records (pre-eigh-svt digests; long)
+#
+# Launch:
+#   rm -f /tmp/queue_stop
+#   nohup bash scripts/r10_queue.sh > /tmp/r10_stdout.log 2>&1 &
+#   then write the REAL pid: ps -eo pid,args | grep "[r]10_queue.sh"
+# Stop cleanly between jobs: touch /tmp/queue_stop
+# Set QUEUE_DEADLINE_TS (epoch) so the chip is free for the driver bench.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+mkdir -p experiments/logs
+export PYTHONPATH=/root/repo:${PYTHONPATH:-}
+QLOG=experiments/logs/r10_queue.log
+source scripts/queue_lib.sh
+
+wait_for_queue_pid /tmp/r9.pid "r9_queue"
+
+EXP="python -m amf_tpu.run.experiment"
+E=experiments
+D=$E/movielens-58k-from5pct-test5pct-15d
+
+# ---- 1. 100k stan era re-record (resumes r9's checkpoint if present)
+run 100k_stan_redo "$E/movielens-100k-from5pct-test5pct" \
+  $EXP movielens-100k-from5pct-test5pct --only stan --redo
+run 100k_check "$E/movielens-100k-from5pct-test5pct" \
+  $EXP movielens-100k-from5pct-test5pct --check
+
+# ---- 2. era-consistent 58k-15d random arm + digest splice
+if python - <<'PY'
+import gzip, json, sys
+with gzip.open("experiments/movielens-58k-from5pct-test5pct-15d/digest_stan.json.gz", "rt") as f:
+    dg = json.load(f)
+sys.exit(0 if "spliced" in dg["criteria"].get("random", {}) else 1)
+PY
+then
+  echo "=== 58k random splice already done; skipping" | tee -a "$QLOG"
+else
+  run 58k15d_data "$D" $EXP movielens-58k-from5pct-test5pct-15d --only data-prep-only
+  run 58k15d_random_fresh "$D" python -m amf_tpu.run.bpmf \
+    --load-data "$D/data.npz" \
+    --latent-d 15 --subtract-mean \
+    --samps 200 --warmup 100 \
+    --steps 200 --float32 \
+    --checkpoint "$D/ckpt_stan_random_fresh.pkl" \
+    --save-results "$D/results_stan_random_fresh.pkl" --no-verbose \
+    --note "fresh ESJD-sampler random arm for era-consistent comparison" \
+    random
+  if [[ -f "$D/results_stan_random_fresh.pkl" ]]; then
+    run 58k15d_random_splice "$D" python scripts/splice_digest_key.py \
+      "$D/digest_stan.json.gz" "$D/results_stan_random_fresh.pkl" random
+    if run 58k15d_recheck "$D" $EXP movielens-58k-from5pct-test5pct-15d --check; then
+      run 58k15d_random_tidy "$D" rm -f "$D/results_stan_random_fresh.pkl" \
+        "$D/ckpt_stan_random_fresh.pkl" "$D/digest_stan.json.gz.presplice.bak"
+    else
+      echo "=== 58k15d recheck FAILED; splice inputs kept for inspection" | tee -a "$QLOG"
+    fi
+  fi
+fi
+
+# ---- 3. db94 stan 4-seed replicates (adjudicates the standing FAIL)
+run db94_seeds_check "$E/drugbank-94x425" $EXP drugbank-94x425 --seeds 4 --check
+run db94_check "$E/drugbank-94x425" $EXP drugbank-94x425 --check
+
+# ---- 4. d4 apmf resume + recheck
+run 10x10d4_apmf "$E/10x10_discrete4_d4" $EXP 10x10_discrete4_d4 --only apmf
+run 10x10d4_check "$E/10x10_discrete4_d4" $EXP 10x10_discrete4_d4 --check
+
+# ---- 5. mmmf re-records on the eigh-SVT solver
+run newmovies20d_mmmf "$E/movielens-58k-newmovies-10pct-20d" \
+  $EXP movielens-58k-newmovies-10pct-20d --only mmmf --redo
+run newmovies20d_check "$E/movielens-58k-newmovies-10pct-20d" \
+  $EXP movielens-58k-newmovies-10pct-20d --check
+run 58k15d_mmmf "$D" $EXP movielens-58k-from5pct-test5pct-15d --only mmmf --redo
+run 58k15d_mmmf_check "$D" $EXP movielens-58k-from5pct-test5pct-15d --check
+run d2_mmmf_redo "$E/10x10_discrete2_d2" $EXP 10x10_discrete2_d2 --only mmmf --redo
+run d2_check "$E/10x10_discrete2_d2" $EXP 10x10_discrete2_d2 --check
+
+# ---- 6. MN at reference scale
+run db94_mnpmf "$E/drugbank-94x425" $EXP drugbank-94x425 --only mnpmf
+run db94_mnpmf_check "$E/drugbank-94x425" $EXP drugbank-94x425 --check
+run db5to1_mnpmf "$E/drugbank-94x425-5to1" $EXP drugbank-94x425-5to1 --only mnpmf
+run db5to1_mnpmf_check "$E/drugbank-94x425-5to1" $EXP drugbank-94x425-5to1 --check
+run 58k15d_mnpmf "$D" $EXP movielens-58k-from5pct-test5pct-15d --only mnpmf
+run 58k15d_mnpmf_check "$D" $EXP movielens-58k-from5pct-test5pct-15d --check
+
+# ---- 7. remaining reference-Makefile families
+run nm10d_stan "$E/movielens-58k-newmovies-10pct-10d" \
+  $EXP movielens-58k-newmovies-10pct-10d --only stan
+run nm10d_mmmf "$E/movielens-58k-newmovies-10pct-10d" \
+  $EXP movielens-58k-newmovies-10pct-10d --only mmmf
+run nm10d_check "$E/movielens-58k-newmovies-10pct-10d" \
+  $EXP movielens-58k-newmovies-10pct-10d --check
+run 75k_bayes "$E/movielens-75k-from5pct-test5pct" \
+  $EXP movielens-75k-from5pct-test5pct --only bayes
+run 75k_bayes_check "$E/movielens-75k-from5pct-test5pct" \
+  $EXP movielens-75k-from5pct-test5pct --check
+run 100k_mmmf "$E/movielens-100k-from5pct-test5pct" \
+  $EXP movielens-100k-from5pct-test5pct --only mmmf
+run 100k_mmmf_check "$E/movielens-100k-from5pct-test5pct" \
+  $EXP movielens-100k-from5pct-test5pct --check
+run 75k_mmmf "$E/movielens-75k-from5pct-test5pct" \
+  $EXP movielens-75k-from5pct-test5pct --only mmmf
+run 75k_mmmf_check "$E/movielens-75k-from5pct-test5pct" \
+  $EXP movielens-75k-from5pct-test5pct --check
+
+# ---- 8. crit1step stan + seed violin grids
+CD=$E/criteria_10x10_1step_discrete
+run crit1step_stan "$CD" $EXP criteria_10x10_1step_discrete --only stan
+run crit1step_check "$CD" $EXP criteria_10x10_1step_discrete --check
+run crit1step_seeds "$CD" $EXP criteria_10x10_1step_discrete --seeds 4
+run crit1step_seeds_check "$CD" $EXP criteria_10x10_1step_discrete --seeds 4 --check
+run crit1step_violin "$CD" python -m amf_tpu.run.compare_firsts \
+  --grid-key pred-variance --names apmf mnpmf stan mmmf rc \
+  --outdir "$CD/plots" "$CD/seed1" "$CD/seed2" "$CD/seed3" "$CD/seed4"
+
+# ---- 9. db5to1 stan era re-record (last pre-esjd stan digest)
+run db5to1_stan_redo "$E/drugbank-94x425-5to1" \
+  $EXP drugbank-94x425-5to1 --only stan --redo
+run db5to1_check "$E/drugbank-94x425-5to1" $EXP drugbank-94x425-5to1 --check
+
+# ---- 10. mmmf era re-records (pre-eigh-svt digests; long)
+run db94_mmmf_redo "$E/drugbank-94x425" $EXP drugbank-94x425 --only mmmf --redo
+run db94_check2 "$E/drugbank-94x425" $EXP drugbank-94x425 --check
+run db5to1_mmmf_redo "$E/drugbank-94x425-5to1" \
+  $EXP drugbank-94x425-5to1 --only mmmf --redo
+run db5to1_check2 "$E/drugbank-94x425-5to1" $EXP drugbank-94x425-5to1 --check
+
+echo "=== $(date +%H:%M:%S) R10 QUEUE DONE" | tee -a "$QLOG"
