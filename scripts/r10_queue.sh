@@ -136,10 +136,14 @@ run crit1step_violin "$CD" python -m amf_tpu.run.compare_firsts \
   --grid-key pred-variance --names apmf mnpmf stan mmmf rc \
   --outdir "$CD/plots" "$CD/seed1" "$CD/seed2" "$CD/seed3" "$CD/seed4"
 
-# ---- 9. db5to1 stan era re-record (last pre-esjd stan digest)
+# ---- 9. remaining pre-esjd stan re-records (era ledger, PARITY.md)
 run db5to1_stan_redo "$E/drugbank-94x425-5to1" \
   $EXP drugbank-94x425-5to1 --only stan --redo
 run db5to1_check "$E/drugbank-94x425-5to1" $EXP drugbank-94x425-5to1 --check
+run nm10d_newitems_redo "$E/movielens-58k-newmovies-10pct-10d" \
+  $EXP movielens-58k-newmovies-10pct-10d --only stan_newitems --redo
+run nm10d_check2 "$E/movielens-58k-newmovies-10pct-10d" \
+  $EXP movielens-58k-newmovies-10pct-10d --check
 
 # ---- 10. mmmf era re-records (pre-eigh-svt digests; long)
 run db94_mmmf_redo "$E/drugbank-94x425" $EXP drugbank-94x425 --only mmmf --redo
