@@ -37,10 +37,22 @@ QLOG=experiments/logs/r10_queue.log
 source scripts/queue_lib.sh
 
 wait_for_queue_pid /tmp/r9.pid "r9_queue"
+wait_for_queue_pid /tmp/r9b.pid "r9b_queue"
 
 EXP="python -m amf_tpu.run.experiment"
 E=experiments
 D=$E/movielens-58k-from5pct-test5pct-15d
+
+# ---- 0. d2 leftovers from the end-of-round-4 window (idempotent: the
+# harness skips digest-complete arms). The two s10000 arms are ~4 h each
+# (25x the s400 chain at the measured ~1.6 s/pick); they were deliberately
+# pushed out of round 4's last window (see scripts/r9b_queue.sh header).
+run d2_straightforward "$E/10x10_discrete2_d2" \
+  $EXP 10x10_discrete2_d2 --only stan_straightforward
+run d2_stan_redo "$E/10x10_discrete2_d2" $EXP 10x10_discrete2_d2 --only stan --redo
+run d2_check0 "$E/10x10_discrete2_d2" $EXP 10x10_discrete2_d2 --check
+run d2_budget_grid "$E/10x10_discrete2_d2" python scripts/compare_sampler_budgets.py
+# (the two ~4 h s10000 arms run in section 8b, after the decisive work)
 
 # ---- 1. 100k stan era re-record (resumes r9's checkpoint if present)
 run 100k_stan_redo "$E/movielens-100k-from5pct-test5pct" \
@@ -135,6 +147,12 @@ run crit1step_seeds_check "$CD" $EXP criteria_10x10_1step_discrete --seeds 4 --c
 run crit1step_violin "$CD" python -m amf_tpu.run.compare_firsts \
   --grid-key pred-variance --names apmf mnpmf stan mmmf rc \
   --outdir "$CD/plots" "$CD/seed1" "$CD/seed2" "$CD/seed3" "$CD/seed4"
+
+# ---- 8b. the d2 s10000 sampler-budget ladder (~4 h/arm)
+run d2_s10000 "$E/10x10_discrete2_d2" $EXP 10x10_discrete2_d2 --only stan_s10000
+run d2_s10000_b "$E/10x10_discrete2_d2" $EXP 10x10_discrete2_d2 --only stan_s10000_b
+run d2_check8b "$E/10x10_discrete2_d2" $EXP 10x10_discrete2_d2 --check
+run d2_budget_grid2 "$E/10x10_discrete2_d2" python scripts/compare_sampler_budgets.py
 
 # ---- 9. remaining pre-esjd stan re-records (era ledger, PARITY.md)
 run db5to1_stan_redo "$E/drugbank-94x425-5to1" \
