@@ -54,7 +54,32 @@ cpu_of_group() {
     END { print t + 0 }' /proc/[0-9]*/stat 2>/dev/null
 }
 
+# One retry for transient tunnel/remote-compile faults: the helper at
+# 127.0.0.1:8113 occasionally drops a response mid-read ("response body
+# closed before all bytes were read", r9b d2_stan_redo 20:06) and the
+# worker sporadically reports UNAVAILABLE; both are retryable — the CLIs
+# checkpoint per pick, so a rerun resumes. Deterministic failures do not
+# match the signature and are not retried.
+_transient_fault() {  # $1 = job log
+  tail -n 40 "$1" 2>/dev/null | grep -qE \
+    'remote_compile: read body|UNAVAILABLE: TPU device error|DEADLINE_EXCEEDED.*remote_compile'
+}
+
 run() {
+  local tag="$1"; shift
+  local watch="$1"; shift
+  _run_once "$tag" "$watch" "$@"
+  local rc=$?
+  if (( rc != 0 && rc != 124 )) && _transient_fault "${QLOG%_queue.log}_${tag}.log"; then
+    echo "=== $(date +%H:%M:%S) $tag transient tunnel fault; retrying once" | tee -a "$QLOG"
+    sleep 60
+    _run_once "$tag" "$watch" "$@"
+    rc=$?
+  fi
+  return $rc
+}
+
+_run_once() {
   local tag="$1"; shift
   local watch="$1"; shift
   if [[ -f /tmp/queue_stop ]]; then
