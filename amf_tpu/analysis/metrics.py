@@ -77,7 +77,8 @@ def kendall_tau(a: np.ndarray, b: np.ndarray) -> float:
     ok = np.isfinite(a) & np.isfinite(b)
     if ok.sum() < 2:
         return float("nan")
-    return float(stats.kendalltau(a[ok], b[ok]).statistic)
+    # tuple form: .statistic only exists on scipy >= 1.9
+    return float(stats.kendalltau(a[ok], b[ok])[0])
 
 
 def area_under_curve(xs: np.ndarray, ys: np.ndarray) -> float:

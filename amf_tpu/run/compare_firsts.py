@@ -119,7 +119,7 @@ def _grid_mode(args):
             if ok.sum() < 8:
                 continue
             tau[i, j] = tau[j, i] = stats.kendalltau(
-                ea[ok], eb[ok]).statistic
+                ea[ok], eb[ok])[0]
             za = (ea[ok] - ea[ok].mean()) / (ea[ok].std() + 1e-12)
             zb = (eb[ok] - eb[ok].mean()) / (eb[ok].std() + 1e-12)
             rms[i, j] = rms[j, i] = np.sqrt(np.mean((za - zb) ** 2))

@@ -219,6 +219,8 @@ def bench_vn_total_variance(jax, jnp):
     # identical fix that carried the 70x306 exp-variance sweep.
     vt = 64
     n_cand = len(cand_all)
+    if n_cand == 0:
+        raise RuntimeError("vn bench: problem has no queryable cells")
     # pad the tail tile (repeat the last candidate) so every candidate is
     # measured under ONE compiled shape and a <64-candidate sweep cannot
     # index an empty tile list; the rate counts only the real candidates,

@@ -50,7 +50,7 @@ def main():
             fo, fn = np.asarray(fo, float), np.asarray(fn, float)
             ok = np.isfinite(fo) & np.isfinite(fn)
             if ok.sum() > 2:
-                tau = stats.kendalltau(fo[ok], fn[ok]).statistic
+                tau = stats.kendalltau(fo[ok], fn[ok])[0]
                 row["first_step_map_tau"] = round(float(tau), 4)
         rows.append(row)
     only = sorted(set(old["criteria"]) ^ set(new["criteria"]))

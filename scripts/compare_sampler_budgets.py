@@ -77,7 +77,7 @@ def main():
             # random maps are iid draws; agreement is undefined by design
             if crit == "random":
                 continue
-            tau = float(stats.kendalltau(ma[mask], mb[mask]).statistic)
+            tau = float(stats.kendalltau(ma[mask], mb[mask])[0])
             rows.append({"pair": f"{a} vs {b}", "criterion": crit,
                          "tau": round(tau, 4), "n_cells": int(mask.sum())})
             print(f"{a:22s} vs {b:22s} {crit:15s} tau={tau:+.3f}")

@@ -60,17 +60,24 @@ cpu_of_group() {
 # worker sporadically reports UNAVAILABLE; both are retryable — the CLIs
 # checkpoint per pick, so a rerun resumes. Deterministic failures do not
 # match the signature and are not retried.
-_transient_fault() {  # $1 = job log
-  tail -n 40 "$1" 2>/dev/null | grep -qE \
+_transient_fault() {  # $1 = job log, $2 = byte offset where this attempt began
+  # scope the grep to bytes appended by the CURRENT attempt: the per-tag
+  # log is cumulative (>>), so fault lines from an earlier attempt or an
+  # earlier queue generation must not trigger a retry of a later
+  # deterministic failure (ADVICE r4)
+  tail -c "+$(( ${2:-0} + 1 ))" "$1" 2>/dev/null | grep -qE \
     'remote_compile: read body|UNAVAILABLE: TPU device error|DEADLINE_EXCEEDED.*remote_compile'
 }
 
 run() {
   local tag="$1"; shift
   local watch="$1"; shift
+  local log="${QLOG%_queue.log}_${tag}.log"
+  local pre_size
+  pre_size=$(stat -c %s "$log" 2>/dev/null || echo 0)
   _run_once "$tag" "$watch" "$@"
   local rc=$?
-  if (( rc != 0 && rc != 124 )) && _transient_fault "${QLOG%_queue.log}_${tag}.log"; then
+  if (( rc != 0 && rc != 124 )) && _transient_fault "$log" "$pre_size"; then
     echo "=== $(date +%H:%M:%S) $tag transient tunnel fault; retrying once" | tee -a "$QLOG"
     sleep 60
     _run_once "$tag" "$watch" "$@"

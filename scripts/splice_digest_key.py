@@ -47,9 +47,17 @@ def main():
     fa, ta = fresh.get("args") or {}, target.get("args") or {}
     cfg_fields = ("latent_d", "samps", "warmup", "subtract_mean", "float32",
                   "lookahead_samps", "lookahead_warmup", "test_set")
-    bad = [f"{k}: fresh {fa[k]!r} vs target {ta[k]!r}"
-           for k in cfg_fields
-           if k in fa and k in ta and fa[k] != ta[k]]
+    bad = []
+    for k in cfg_fields:
+        if k in fa and k in ta:
+            if fa[k] != ta[k]:
+                bad.append(f"{k}: fresh {fa[k]!r} vs target {ta[k]!r}")
+        elif k in fa or k in ta:
+            # one side lacks the field entirely (e.g. a legacy digest with
+            # no recorded args): the arms cannot be shown comparable, so
+            # refuse rather than silently bypassing the guard (ADVICE r4)
+            side = "target" if k in fa else "fresh"
+            bad.append(f"{k}: absent from {side} digest args — incomparable")
     entry = fresh["criteria"][key]
     tgt_ns = (target["criteria"].get(key) or {}).get("n_rated")
     if tgt_ns is not None and len(entry["n_rated"]) != len(tgt_ns):
