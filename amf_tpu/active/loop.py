@@ -41,6 +41,7 @@ def run_active_pmf(
     lookahead_budget: int = 300,
     lookahead_tile: int = 0,
     lookahead_host_tiles: bool = False,
+    cov_param: str = "psd-project",  # vn only: 'chol' = eigh-free fast path
     mesh=None,  # jax.sharding.Mesh: shard lookahead candidates over devices
     dtype=jnp.float64,
     verbose: bool = False,
@@ -69,7 +70,7 @@ def run_active_pmf(
     pcfg = pcfg or pmf.PMFConfig(latent_d=latent_d)
 
     if model == "vn":
-        acfg = vnormal.VNConfig(latent_d=latent_d)
+        acfg = vnormal.VNConfig(latent_d=latent_d, cov_param=cov_param)
         adapter = lookahead_mod.vn_adapter(acfg)
     else:
         acfg = mnormal.MNConfig(latent_d=latent_d)

@@ -34,7 +34,18 @@ from amf_tpu.types import Problem
 
 
 class VNConfig(NamedTuple):
-    """Static knobs (reference defaults: active_pmf.py:144-146, 251-288)."""
+    """Static knobs (reference defaults: active_pmf.py:144-146, 251-288).
+
+    cov_param selects the covariance descent parameterization:
+      * "psd-project" (default, parity): descend on the full covariance and
+        eigh-project to the PSD cone after every proposal, exactly the
+        reference's fit_normal_kls trajectory (active_pmf.py:251-288).
+      * "chol": descend on a Cholesky factor L with cov = L L^T + min_eig I —
+        every iterate is PSD by construction, so the per-proposal (k, k)
+        eigh disappears entirely. Same KL objective and stationary points,
+        DIFFERENT trajectory (a deliberate non-parity fast path for the
+        lookahead fan-out; SURVEY.md "hard parts", PARITY.md deviations).
+    """
 
     latent_d: int = 1
     learning_rate: float = 1e-4  # normal_learning_rate
@@ -42,6 +53,7 @@ class VNConfig(NamedTuple):
     stop_thresh: float = 0.005
     min_lr: float = 1e-10
     max_fit_steps: int = 500
+    cov_param: str = "psd-project"  # or "chol"
 
 
 @struct.dataclass
@@ -112,6 +124,8 @@ def fit_normal(
 ) -> Tuple[VNState, DescentInfo]:
     """Gradient descent on the KL with adaptive LR + PSD projection
     (reference: active_pmf.fit_normal_kls :251-288)."""
+    if cfg.cov_param == "chol":
+        return _fit_normal_chol(vn, pmf_state, problem, cfg, max_steps)
     max_steps = cfg.max_fit_steps if max_steps is None else max_steps
 
     def value_fn(x):
@@ -141,6 +155,66 @@ def fit_normal(
         value_and_grad_fn=value_and_grad_fn,
     )
     return VNState(mean=mean, cov=cov), info
+
+
+def _fit_normal_chol(
+    vn: VNState,
+    pmf_state: PMFState,
+    problem: Problem,
+    cfg: VNConfig,
+    max_steps: Optional[int] = None,
+) -> Tuple[VNState, DescentInfo]:
+    """KL descent in the Cholesky-factor parameterization (VNConfig
+    cov_param="chol"): descend on lower-triangular L with
+    cov = L L^T + min_eig I, so every proposal is PSD by construction and
+    the per-proposal (k, k) eigh of the projection path vanishes.
+
+    Same KL objective as fit_normal (and the reference's fit_normal_kls,
+    active_pmf.py:251-288); the descent TRAJECTORY differs — a documented
+    non-parity fast path for the in-lookahead refit fan-out where only the
+    refit endpoint's statistic matters (VERDICT r4 #8; PARITY.md). The
+    state keeps the plain (mean, cov) layout: one Cholesky at entry, one
+    L L^T at exit.
+    """
+    max_steps = cfg.max_fit_steps if max_steps is None else max_steps
+    dtype = vn.cov.dtype
+    k = vn.cov.shape[0]
+    eye = jnp.eye(k, dtype=dtype)
+    floor = jnp.asarray(cfg.min_eig, dtype)
+
+    # entry factor: cov from initialize_approx / a previous fit is PSD with
+    # eigenvalues >= min_eig; the tiny extra jitter keeps the one-time
+    # factorization safe in f32
+    L0 = jnp.linalg.cholesky(vn.cov + 1e-6 * jnp.trace(vn.cov) / k * eye)
+
+    def cov_of(L):
+        Lt = jnp.tril(L)
+        return Lt @ Lt.T + floor * eye
+
+    def value_fn(x):
+        return kl_divergence(
+            vn, pmf_state, problem, cfg, mean=x[0], cov=cov_of(x[1])
+        )
+
+    value_and_grad_fn = jax.value_and_grad(value_fn)
+
+    def step_fn(x, g, lr):
+        # the gradient through cov_of is already zero above the diagonal
+        # (tril); no projection needed — L - lr*g stays a valid factor
+        return (x[0] - lr * g[0], x[1] - lr * g[1])
+
+    (mean, L), info = adaptive_descent(
+        (vn.mean, L0),
+        value_fn,
+        None,
+        step_fn,
+        lr0=cfg.learning_rate,
+        stop_thresh=cfg.stop_thresh,
+        min_lr=cfg.min_lr,
+        max_steps=max_steps,
+        value_and_grad_fn=value_and_grad_fn,
+    )
+    return VNState(mean=mean, cov=cov_of(L)), info
 
 
 # ---------------------------------------------------------------------------

@@ -44,6 +44,14 @@ def build_parser():
     add_bool_opt(model, "refit-lookahead", default=False)
     model.add_argument("--lookahead-budget", type=int, default=300,
                        help="max inner-fit iterations inside the vmapped lookahead")
+    model.add_argument("--cov-param", choices=("psd-project", "chol"),
+                       default="psd-project",
+                       help="vn covariance descent parameterization: "
+                            "psd-project = the reference's eigh-projected "
+                            "descent (parity default); chol = Cholesky-"
+                            "factor fast path (PSD by construction, no "
+                            "per-step eigh; same KL objective, different "
+                            "trajectory — see PARITY.md)")
     model.add_argument("keys", nargs="*",
                        help="Choices: {}.".format(", ".join(sorted(KEY_FUNCS))))
 
@@ -256,6 +264,7 @@ def main(argv=None):
         lookahead_budget=args.lookahead_budget,
         lookahead_tile=args.lookahead_tile,
         lookahead_host_tiles=args.lookahead_host_tiles,
+        cov_param=args.cov_param,
         mesh=mesh,
         dtype=jnp.float32 if args.float32 else jnp.float64,
         verbose=args.verbose,

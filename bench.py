@@ -181,9 +181,13 @@ def bench_gibbs_exp_variance(jax, jnp, prob, vals):
     return e2e_rate, dev_rate, pool_cand_rate, procs
 
 
-def bench_vn_total_variance(jax, jnp):
+def bench_vn_total_variance(jax, jnp, cov_param="psd-project"):
     """vn `total-variance` lookahead with approx refit (active_pmf.py
-    :612-633 + :668-676) at a full-covariance-supported shape."""
+    :612-633 + :668-676) at a full-covariance-supported shape.
+
+    cov_param="chol" measures the eigh-free Cholesky-factor fast path
+    (vnormal.VNConfig.cov_param; PARITY.md round-5 deviations) — reported
+    as a separate field; the parity path stays the vn headline."""
     from amf_tpu import types
     from amf_tpu.active.criteria import KEY_FUNCS
     from amf_tpu.active.lookahead import (
@@ -197,7 +201,8 @@ def bench_vn_total_variance(jax, jnp):
         num_users=n, num_items=me, rank=d, mask_type=0.2, rng=rng)
     prob = types.problem_from_dense(real, known)
     pcfg = pmf.PMFConfig(latent_d=d, max_fit_steps=200)
-    vcfg = vnormal.VNConfig(latent_d=d, max_fit_steps=100)
+    vcfg = vnormal.VNConfig(latent_d=d, max_fit_steps=100,
+                            cov_param=cov_param)
     key = jax.random.PRNGKey(0)
     pst = pmf.init_state(key, n, me, pcfg, prob, dtype=jnp.float32)
     pst, _ = pmf.fit(pst, prob, pcfg)
@@ -354,6 +359,11 @@ def main():
     except Exception as e:  # noqa: BLE001 — device faults surface as varied types
         vn_rate = None
         fault_notes["vn_total_variance"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        vn_chol_rate = bench_vn_total_variance(jax, jnp, cov_param="chol")
+    except Exception as e:  # noqa: BLE001
+        vn_chol_rate = None
+        fault_notes["vn_total_variance_chol"] = f"{type(e).__name__}: {e}"[:200]
 
     pk_rate = None  # Pallas TPU kernel: no host lowering on CPU
     if accel:
@@ -380,6 +390,8 @@ def main():
                     f"{LA_SAMPS}-sample chains",
         "vn_total_variance_scores_per_sec": (
             round(vn_rate, 2) if vn_rate is not None else None),
+        "vn_total_variance_chol_scores_per_sec": (
+            round(vn_chol_rate, 2) if vn_chol_rate is not None else None),
         "pmf_refit_kernel_scores_per_sec": (
             round(pk_rate, 2) if pk_rate is not None else None),
         **({"secondary_bench_faults": fault_notes} if fault_notes else {}),

@@ -212,3 +212,87 @@ def test_mn_matches_vn_for_kron_cov(rng, key):
     got_mn = float(mnormal.kl_divergence(mn, st, prob, mcfg))
     got_vn = float(vnormal.kl_divergence(vn, st, prob, vcfg))
     assert got_mn == pytest.approx(got_vn, rel=1e-8)
+
+
+def test_fit_normal_chol_matches_psd_project_fixpoint(rng, key):
+    """The Cholesky-factor fast path (VNConfig cov_param="chol") minimizes
+    the same KL as the projected-descent parity path: from the same init,
+    both must descend, and the chol endpoint's KL must be at least as good
+    as (or within a small tolerance of) the projected path's at an equal
+    step budget. The trajectory is allowed to differ (documented non-parity
+    fast path; PARITY.md)."""
+    real, prob, cfg, st = _setup(rng, key)
+    base = vnormal.VNConfig(latent_d=cfg.latent_d, max_fit_steps=800)
+    vn0 = vnormal.initialize_approx(jax.random.PRNGKey(1), st, base)
+    kl0 = float(vnormal.kl_divergence(vn0, st, prob, base))
+
+    vn_p, info_p = vnormal.fit_normal(vn0, st, prob, base)
+    vn_c, info_c = vnormal.fit_normal(
+        vn0, st, prob, base._replace(cov_param="chol")
+    )
+    kl_p = float(vnormal.kl_divergence(vn_p, st, prob, base))
+    kl_c = float(vnormal.kl_divergence(vn_c, st, prob, base))
+    assert kl_c < kl0
+    assert int(info_c.n_accepts) > 3
+    # equal-footing endpoint quality: within 2% of the projected path
+    # (both stop on the same stop_thresh rule)
+    assert kl_c <= kl_p + 0.02 * abs(kl_p), (kl_c, kl_p, kl0)
+    # the returned covariance is PSD with the configured floor
+    evals = np.linalg.eigvalsh(np.asarray(vn_c.cov))
+    assert evals.min() >= base.min_eig * 0.5
+
+
+def test_lookahead_scores_chol_budget_stable_and_lower_kl(rng, key):
+    """Characterize the chol fast path at the lookahead level.
+
+    Measured (scripts/probe_vn_decomp.py development, 8x7 d=2): the
+    projected-descent parity path STALLS — its total-variance scores are
+    byte-identical at 400 and 3000 proposal budgets (the adaptive LR
+    collapses after projection-spoiled proposals and the stop rule fires
+    at a high-KL endpoint, median score ~700), while the chol path reaches
+    far lower KL endpoints (median ~200) with a candidate ranking that is
+    budget-STABLE (tau(chol@400, chol@3000) = 1.0). The two paths select
+    differently (tau ~ 0.18) — that is the documented PARITY.md deviation,
+    so the asserts here pin the chol path's own guarantees: budget-stable
+    ranking + systematically-lower KL refit endpoints."""
+    from amf_tpu.active.criteria import KEY_FUNCS
+    from amf_tpu.active.lookahead import (
+        LookaheadConfig, lookahead_scores, vn_adapter)
+    from scipy import stats as sps
+    from amf_tpu.data import make_fake_data
+
+    real, known, _ = make_fake_data(
+        num_users=8, num_items=7, rank=2, mask_type=0.2, data_type=5,
+        rng=rng)
+    prob = types.problem_from_dense(real, known, dtype=jnp.float64)
+    cfg = pmf.PMFConfig(latent_d=2, max_fit_steps=300)
+    st = pmf.init_state(key, 8, 7, cfg, prob, dtype=jnp.float64)
+    st, _ = pmf.fit(st, prob, cfg)
+    crit = KEY_FUNCS["total-variance"]
+
+    def run(mode, budget):
+        vcfg = vnormal.VNConfig(latent_d=2, max_fit_steps=budget,
+                                cov_param=mode)
+        vn = vnormal.initialize_approx(jax.random.PRNGKey(1), st, vcfg)
+        vn, _ = vnormal.fit_normal(vn, st, prob, vcfg)
+        lcfg = LookaheadConfig(
+            rating_values=(), refit_lookahead=True,
+            pmf_refit_steps=50, approx_refit_steps=budget,
+            n_integration_nodes=8)
+        return np.asarray(lookahead_scores(
+            crit, st, vn, prob, jax.random.PRNGKey(7), cfg,
+            vn_adapter(vcfg), lcfg))
+
+    c300 = run("chol", 300)
+    c600 = run("chol", 600)
+    p600 = run("psd-project", 600)
+
+    sel = np.isfinite(c300) & np.isfinite(c600) & np.isfinite(p600)
+    assert sel.sum() >= 15, sel.sum()
+    # ranking is budget-stable for the chol path
+    tau_budget = sps.kendalltau(c300[sel], c600[sel])[0]
+    assert tau_budget > 0.9, tau_budget
+    # chol refit endpoints carry systematically lower posterior variance
+    # (deeper KL minima) than the stalled projected path
+    assert np.median(c600[sel]) < np.median(p600[sel]), (
+        np.median(c600[sel]), np.median(p600[sel]))
