@@ -251,6 +251,27 @@ def catalog() -> Dict[str, Experiment]:
                 "--no-verbose",
                 "random", "pred-variance", "pred", "prob-ge-3.5",
             ],
+            # Makefile:80-95 (results_stan_nolookahead_s200w100_200steps):
+            # the PLAIN one-phase stan loop on the same cold-start data,
+            # restricted to new-item columns (--query-new-only)
+            "stan": [
+                "amf_tpu.run.bpmf", "--load-data", "{data}",
+                "--latent-d", "10", "--subtract-mean",
+                "--query-new-only",
+                "--samps", "200", "--warmup", "100",
+                "--steps", "200", "--float32",
+                "--checkpoint", "{out}/ckpt_stan.pkl",
+                "--save-results", "{out}/results_stan.pkl", "--no-verbose",
+                "random", "pred-variance", "pred", "prob-ge-3.5",
+            ],
+            # Makefile:97-105 (results_mmmf_200steps, -C 1 --cutoff 3.5,
+            # all selectors); f32 on-chip like the other large mmmf arms
+            "mmmf": [
+                "amf_tpu.run.active_mmmf", "--load-data", "{data}",
+                "-C", "1", "--cutoff", "3.5", "--steps", "200", "--float32",
+                "--checkpoint", "{out}/ckpt_mmmf.pkl",
+                "--save-results", "{out}/results_mmmf.pkl", "--no-verbose",
+            ],
         },
     )
 
@@ -317,6 +338,19 @@ def catalog() -> Dict[str, Experiment]:
                 "--checkpoint", "{out}/ckpt_stan.pkl",
                 "--save-results", "{out}/results_stan.pkl", "--no-verbose",
                 "random", "pred-variance", "pred", "prob-ge-0",
+            ],
+            # Makefile:66-76 (results_mnpmf_nolookahead_150steps): the MN
+            # model's at-scale purpose (mn_active_pmf.py:119); direct keys
+            # only — the Makefile lists prob-ge-3.5 even on this binary
+            # dataset, mirrored as written. f32 on-chip (one-core host).
+            "mnpmf": [
+                "amf_tpu.run.active_pmf", "--model", "mn",
+                "--load-data", "{data}",
+                "--latent-d", "20", "--discrete-integration",
+                "--refit-lookahead", "--steps", "150", "--float32",
+                "--checkpoint", "{out}/ckpt_mnpmf.pkl",
+                "--save-results", "{out}/results_mnpmf.pkl", "--no-verbose",
+                "random", "pred-variance", "pred", "prob-ge-3.5",
             ],
         },
     )
@@ -395,6 +429,17 @@ def catalog() -> Dict[str, Experiment]:
                 "-C", "1", "--steps", "200",
                 "--checkpoint", "{out}/ckpt_mmmf.pkl",
                 "--save-results", "{out}/results_mmmf.pkl", "--no-verbose",
+            ],
+            # Makefile:66-76 (results_mnpmf_nolookahead_200steps); same
+            # prob-ge-3.5-on-binary quirk as the 94x425 dir, mirrored
+            "mnpmf": [
+                "amf_tpu.run.active_pmf", "--model", "mn",
+                "--load-data", "{data}",
+                "--latent-d", "20", "--discrete-integration",
+                "--refit-lookahead", "--steps", "200", "--float32",
+                "--checkpoint", "{out}/ckpt_mnpmf.pkl",
+                "--save-results", "{out}/results_mnpmf.pkl", "--no-verbose",
+                "random", "pred-variance", "pred", "prob-ge-3.5",
             ],
         },
     )
