@@ -519,18 +519,24 @@ def catalog() -> Dict[str, Experiment]:
                 "--save-results", "{out}/results_stan.pkl", "--no-verbose",
             ],
             # Makefile:51-60 / :62-71: mnpmf / apmf --discrete
-            # refit-lookahead, 2 steps, all keys
+            # refit-lookahead, 2 steps, all keys. --float32 (on-chip): the
+            # round-4 MAIN digests were recorded f64 on the host (~1.3 h per
+            # refit-lookahead family); the chip runs the same 2-step sweep
+            # in under a minute (scripts/probe_d4_apmf_step.py), which is
+            # what makes the 4-seed replicate violin grids affordable on
+            # this one-core host — f32 noise << the seed noise the
+            # replicates measure
             "mnpmf": [
                 "amf_tpu.run.active_pmf", "--model", "mn",
                 "--load-data", "{data}",
                 "--latent-d", "2", "--discrete-integration",
-                "--refit-lookahead", "--steps", "2",
+                "--refit-lookahead", "--steps", "2", "--float32",
                 "--save-results", "{out}/results_mnpmf.pkl", "--no-verbose",
             ],
             "apmf": [
                 "amf_tpu.run.active_pmf", "--load-data", "{data}",
                 "--latent-d", "2", "--discrete-integration",
-                "--refit-lookahead", "--steps", "2",
+                "--refit-lookahead", "--steps", "2", "--float32",
                 "--save-results", "{out}/results_apmf.pkl", "--no-verbose",
             ],
             # Makefile:73-82: mmmf -C 1 --cutoff 3.5, 2 steps, all selectors
