@@ -29,7 +29,19 @@ E=experiments
 D=$E/movielens-58k-from5pct-test5pct-15d
 DB=$E/drugbank-94x425
 
-# ---- 1. certify the 100k era re-record
+# ---- 1. 100k stan era re-record: RESUME from the pick ~120 checkpoint.
+# The first r12 attempt wedged silently at 06:43 after ~120 picks (the
+# round-2/3/4 dispatch-hang fault family: zero CPU, tunnel answers fresh
+# clients, no UNAVAILABLE in the log so the signature-based retry cannot
+# fire). Queue the arm twice: a second invocation after a mid-flight kill
+# resumes the checkpoint; after a completed first run it no-ops on the
+# existing pickle. STALL_SEC is 20 min here (picks are ~25 s; silence
+# that long is the wedge, not a compile).
+STALL_SEC=1500
+run 100k_stan_redo "$E/movielens-100k-from5pct-test5pct" \
+  $EXP movielens-100k-from5pct-test5pct --only stan --redo
+run 100k_stan_redo2 "$E/movielens-100k-from5pct-test5pct" \
+  $EXP movielens-100k-from5pct-test5pct --only stan --redo
 run 100k_check "$E/movielens-100k-from5pct-test5pct" \
   $EXP movielens-100k-from5pct-test5pct --check
 
