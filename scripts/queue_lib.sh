@@ -108,14 +108,18 @@ _run_once() {
   while kill -0 "$pid" 2>/dev/null; do
     sleep 30
     cpu_now=$(cpu_of_group "$pid")
-    # >=1 CPU-second since the last progress mark (~3% of one 30 s
-    # window): real dispatch loops run >=10%; idle-blocked clients and
-    # low-rate heartbeat threads don't clear it
+    # >=1 CPU-second within THIS 30 s window (~3%): real dispatch loops
+    # run >=10%; idle-blocked clients and heartbeat threads don't clear
+    # it. The delta must be per-window, not since-last-progress-mark: a
+    # wedged client dripping ~1 CPU-s every few minutes (round-5 100k
+    # dispatch hang, 2026-08-20 07:36) crosses any absolute threshold
+    # eventually and re-arms the fuse forever.
     if [[ -n "$(find "$watch" "$log" -newermt "@${last_change}" -print -quit 2>/dev/null)" ]] \
        || (( cpu_now > last_cpu + 100 )); then
       last_change=$(date +%s)
-      last_cpu=$cpu_now
-    elif (( $(date +%s) - last_change > STALL_SEC )); then
+    fi
+    last_cpu=$cpu_now
+    if (( $(date +%s) - last_change > STALL_SEC )); then
       echo "=== $(date +%H:%M:%S) $tag STALLED >$((STALL_SEC / 60)) min; killing group $pid" | tee -a "$QLOG"
       kill -- "-$pid" 2>/dev/null
       sleep 20
