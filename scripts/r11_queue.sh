@@ -66,8 +66,11 @@ else
 fi
 
 # ---- 2. db94 stan 4-seed replicates (adjudicates the standing strict-band
-# hard_ok=False — queued since round 3)
-run db94_seeds "$E/drugbank-94x425" $EXP drugbank-94x425 --seeds 4
+# hard_ok=False — queued since round 3). --only stan: the fail under
+# adjudication is the stan pred-variance strict band; without --only the
+# seeds mode would also replicate the mmmf + mnpmf families 4x (days of
+# CPU-f64 ADMM), which no open verdict needs.
+run db94_seeds "$E/drugbank-94x425" $EXP drugbank-94x425 --seeds 4 --only stan
 run db94_seeds_check "$E/drugbank-94x425" $EXP drugbank-94x425 --seeds 4 --check
 run db94_check "$E/drugbank-94x425" $EXP drugbank-94x425 --check
 
