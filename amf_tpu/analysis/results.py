@@ -142,11 +142,29 @@ def results_from_digest(dg: Dict) -> Dict:
 
 def merge_results(base: Dict, extra: Dict) -> Dict:
     """Merge criterion records from another results file (the reference
-    merges MMMF/RC outputs into a shared pickle, active_mmmf.py:240-245)."""
+    merges MMMF/RC outputs into a shared pickle, active_mmmf.py:240-245).
+
+    ``_real`` must also merge: a digest-reconstructed results dict carries a
+    NaN-filled ``_real`` sized to ITS OWN recorded picks (results_from_digest),
+    so keeping only ``base``'s matrix lets ``extra``'s picks index out of
+    bounds in the discovery curves. Union the two on a NaN-padded canvas of
+    the larger shape; where both recorded a true value, ``base`` wins (they
+    agree whenever the runs share a data file)."""
     out = dict(base)
     for key, val in extra.items():
         if not key.startswith("_"):
             out[key] = val
+    br, er = base.get("_real"), extra.get("_real")
+    if br is not None and er is not None:
+        br, er = np.asarray(br, float), np.asarray(er, float)
+        shape = (max(br.shape[0], er.shape[0]), max(br.shape[1], er.shape[1]))
+        real = np.full(shape, np.nan)
+        real[: er.shape[0], : er.shape[1]] = er
+        canvas = real[: br.shape[0], : br.shape[1]]
+        real[: br.shape[0], : br.shape[1]] = np.where(
+            np.isnan(br), canvas, br
+        )
+        out["_real"] = real
     return out
 
 

@@ -334,3 +334,31 @@ def test_era_round_trips_through_digest_reconstruction():
     assert rt["sampler_era"] == "esjd-leapfrog-v1"
     assert rt["criteria"]["random"]["spliced"].startswith("fresh")
     assert rt["criteria"]["random"]["era"] == "esjd-leapfrog-v1"
+
+
+def test_merge_results_unions_real_matrices():
+    """merge_results must union _real: digest-reconstructed dicts size _real
+    to their OWN picks, so keeping only base's matrix lets the other run's
+    picks index out of bounds in count_ge_cutoff_curve (plot_results merges
+    engines, reference active_mmmf.py:240-245)."""
+    from amf_tpu.analysis import results as R
+
+    base = {
+        "_real": np.full((3, 3), np.nan),
+        "apmf_pred": [(1, 1.0, None, None), (2, 0.9, (2, 2), None)],
+    }
+    base["_real"][2, 2] = 5.0
+    extra = {
+        "_real": np.full((5, 6), np.nan),
+        "bayes_pred": [(1, 1.2, None, None), (2, 1.1, (4, 5), None)],
+    }
+    extra["_real"][4, 5] = 4.0
+    merged = R.merge_results(base, extra)
+    assert merged["_real"].shape == (5, 6)
+    assert merged["_real"][2, 2] == 5.0  # base value survives
+    assert merged["_real"][4, 5] == 4.0  # extra value survives
+    # the out-of-bounds crash: extra's pick must be addressable
+    ns, counts = R.count_ge_cutoff_curve(merged, "bayes_pred", 3.5)
+    assert counts[-1] == 1
+    ns, counts = R.count_ge_cutoff_curve(merged, "apmf_pred", 3.5)
+    assert counts[-1] == 1
