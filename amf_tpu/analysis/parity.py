@@ -461,14 +461,20 @@ def aggregate_seed_checks(
     seed_dirs: List[str],
     strict_active: bool = False,
     random_slack: float = 0.10,
+    improve_slack: float = 0.02,
 ) -> List[Dict]:
     """Acceptance bands over SEED MEANS (VERDICT r2: single-seed 10x10
     bands are noisy draws). Reads the digest_*.json.gz files previously
     written in each seed dir; for every (run, criterion) the statistic is
     the per-seed AUC ratio vs that SAME seed's random arm, aggregated as
-    mean +/- spread across seeds."""
+    mean +/- spread across seeds. A ``seed_learning`` band aggregates the
+    same endpoint-rise statistic as the single-run learning band
+    (err[-1]/err[0], same improve slack), so a strict learning fail can be
+    adjudicated by replicates of the statistic that failed — exactly the
+    treatment the d4 min-margin-pos discovery fail got."""
     per: Dict[Tuple[str, str], List[Tuple[float, Optional[float]]]] = {}
     disc: Dict[Tuple[str, str], List[Tuple[float, float]]] = {}
+    learn: Dict[Tuple[str, str], List[float]] = {}
     for d in seed_dirs:
         for dpath in sorted(glob.glob(os.path.join(d, "digest_*.json.gz"))):
             with gzip.open(dpath, "rt") as f:
@@ -500,7 +506,30 @@ def aggregate_seed_checks(
                 if key in _RMSE_CONTROL:
                     continue
                 per.setdefault((stem, key), []).append((c["auc"], rand_auc))
+                errs = c.get("err") or ()
+                if (key not in _RMSE_UNINFORMATIVE
+                        and len(errs) > 2 and errs[0]):
+                    learn.setdefault((stem, key), []).append(
+                        float(errs[-1]) / float(errs[0]))
     rows: List[Dict] = []
+    for (stem, key), ratios in sorted(learn.items()):
+        if len(ratios) < 2:
+            continue
+        mean, spread = float(np.mean(ratios)), float(np.std(ratios))
+        if mean <= 1.0 + improve_slack:
+            status = "pass"
+            note = ("improved on seed mean" if mean <= 1.0
+                    else "flat within improve slack on seed mean")
+        else:
+            status = "fail" if strict_active else "warn"
+            note = "err rose beyond improve slack on seed mean"
+        rows.append({
+            "check": "seed_learning",
+            "key": f"{stem}:{key}",
+            "status": status,
+            "detail": f"err[-1]/err[0] over {len(ratios)} seeds: "
+                      f"{mean:.4f} +/- {spread:.4f} ({note})",
+        })
     for (stem, key), entries in sorted(disc.items()):
         ratios = [a / r for a, r in entries if r]
         if len(ratios) < 2:
@@ -547,8 +576,8 @@ def aggregate_seed_checks(
     return rows
 
 
-def _seed_passing_bands(outdir: str) -> Dict[Tuple[str, str], str]:
-    """(stem, key) pairs whose seed-MEAN band passes in a committed
+def _seed_passing_bands(outdir: str) -> Dict[Tuple[str, str, str], str]:
+    """(stem, key, check) triples whose seed-MEAN band passes in a committed
     parity_report_seeds.json (written by `run.experiment --seeds --check`).
 
     A strict single-run band exists to catch real regressions, but on the
@@ -563,11 +592,16 @@ def _seed_passing_bands(outdir: str) -> Dict[Tuple[str, str], str]:
     except (OSError, json.JSONDecodeError):
         return out
     for row in report.get("checks", []):
-        if not row.get("check", "").startswith("seed_"):
+        check = row.get("check", "")
+        if not check.startswith("seed_"):
             continue
         if row.get("status") == "pass" and ":" in row.get("key", ""):
             stem, key = row["key"].split(":", 1)
-            out[(stem, key)] = os.path.basename(path)
+            # keyed by the single-run band this seed band replicates
+            # (seed_learning adjudicates learning, seed_discovery_vs_random
+            # adjudicates discovery_vs_random, ...): a passing seed-mean of
+            # one statistic must not excuse a fail of a different one
+            out[(stem, key, check[len("seed_"):])] = os.path.basename(path)
     return out
 
 
@@ -629,12 +663,12 @@ def check_experiment_dir(outdir: str,
             row["run"] = stem
             if src == "digest":
                 row["source"] = "digest"
-            if (row["status"] == "fail"
-                    and (stem, row["key"]) in seed_pass):
+            sp = seed_pass.get((stem, row["key"], row["check"]))
+            if row["status"] == "fail" and sp:
                 row["status"] = "warn"
                 row["detail"] += (
-                    "; single-seed draw — the seed-mean band passes "
-                    f"({seed_pass[(stem, row['key'])]})")
+                    "; single-seed draw — the seed-mean band of this same "
+                    f"statistic passes ({sp})")
             rows.append(row)
         if src == "digest":
             continue  # never overwrite a committed digest with a round-trip

@@ -148,7 +148,8 @@ def test_seed_passing_bands_loader(tmp_path):
              "detail": "..."},
         ]}))
     got = parity._seed_passing_bands(str(tmp_path))
-    assert got == {("mmmf", "min-margin"): "parity_report_seeds.json"}
+    assert got == {("mmmf", "min-margin", "active_vs_random"):
+                   "parity_report_seeds.json"}
     assert parity._seed_passing_bands(str(tmp_path / "missing")) == {}
 
 
@@ -182,12 +183,17 @@ def test_aggregate_seed_checks(tmp_path):
             json.dump(dg, f)
     rows = parity.aggregate_seed_checks(
         [str(tmp_path / f"seed{k}") for k in (1, 2, 3)], strict_active=True)
-    assert len(rows) == 1
-    r = rows[0]
-    assert r["check"] == "seed_active_vs_random"
+    assert len(rows) == 2
+    by_check = {r["check"]: r for r in rows}
+    r = by_check["seed_active_vs_random"]
     assert r["key"] == "apmf:pred-variance"
     assert r["status"] == "pass"  # mean ratio ~0.957 < 1
     assert "3 seeds" in r["detail"]
+    # the declining err curve aggregates to a passing seed_learning band
+    r = by_check["seed_learning"]
+    assert r["key"] == "apmf:pred-variance"
+    assert r["status"] == "pass"
+    assert "improved on seed mean" in r["detail"]
 
     # a 2-step horizon produces NO seed band rows (degenerate AUC)
     for k in (1, 2, 3):
@@ -362,3 +368,66 @@ def test_merge_results_unions_real_matrices():
     assert counts[-1] == 1
     ns, counts = R.count_ge_cutoff_curve(merged, "apmf_pred", 3.5)
     assert counts[-1] == 1
+
+
+def test_seed_learning_band_and_matched_downgrade(tmp_path):
+    """A strict learning fail is adjudicated ONLY by a passing seed-mean of
+    the same statistic (seed_learning); a passing seed band of a different
+    check must not excuse it."""
+    import gzip
+    import json
+    import pickle
+
+    ns = list(range(4, 16))
+    # rising error: single-run strict learning band FAILS
+    rising = [0.48 + 0.002 * t for t in range(len(ns))]
+
+    # seed replicates whose endpoint ratio is flat (within improve slack)
+    for k in (1, 2, 3):
+        d = tmp_path / f"seed{k}"
+        d.mkdir()
+        errs = [0.49 + (0.001 if k == 2 else -0.001) * t
+                for t in range(len(ns))]
+        dg = {"criteria": {
+            "random": {"auc": 100.0, "err": errs, "n_rated": ns},
+            "pred-variance": {"auc": 102.0, "err": errs, "n_rated": ns},
+        }}
+        with gzip.open(d / "digest_stan.json.gz", "wt") as f:
+            json.dump(dg, f)
+    rows = parity.aggregate_seed_checks(
+        [str(tmp_path / f"seed{k}") for k in (1, 2, 3)], strict_active=True)
+    by_check = {r["check"]: r for r in rows}
+    assert by_check["seed_learning"]["status"] == "pass"
+    # AUC ratio 1.02 is worse-than-random within slack -> warn on strict
+    assert by_check["seed_active_vs_random"]["status"] == "warn"
+
+    # seed report on disk + a failing single-run digest in the main dir
+    report = {"checks": rows}
+    (tmp_path / "parity_report_seeds.json").write_text(json.dumps(report))
+    res = {
+        "_real": __import__("numpy").ones((4, 4)),
+        "_kind": "stan",
+        "stan_pred-variance": [
+            (n, e, (0, 0) if t else None, None)
+            for t, (n, e) in enumerate(zip(ns, rising))],
+        "stan_random": [
+            (n, e, (1, 1) if t else None, None)
+            for t, (n, e) in enumerate(zip(ns, rising))],
+    }
+    with open(tmp_path / "results_stan.pkl", "wb") as f:
+        pickle.dump(res, f)
+    rows, hard_ok = parity.check_experiment_dir(
+        str(tmp_path), strict_active=True)
+    learn = [r for r in rows
+             if r["check"] == "learning" and r["key"] == "pred-variance"][0]
+    assert learn["status"] == "warn"
+    assert "seed-mean band of this same statistic passes" in learn["detail"]
+    # the strict AUC fail (if any) must NOT be excused by seed_learning:
+    # fabricate a mismatched seed report that passes only seed_learning
+    mism = {"checks": [{"check": "seed_learning",
+                        "key": "stan:pred-variance", "status": "pass",
+                        "detail": "..."}]}
+    (tmp_path / "parity_report_seeds.json").write_text(json.dumps(mism))
+    bands = parity._seed_passing_bands(str(tmp_path))
+    assert ("stan", "pred-variance", "learning") in bands
+    assert ("stan", "pred-variance", "active_vs_random") not in bands
