@@ -189,7 +189,15 @@ def _fit_normal_chol(
 
     def cov_of(L):
         Lt = jnp.tril(L)
-        return Lt @ Lt.T + floor * eye
+        # HIGHEST precision is required on TPU: the default bf16 matmul
+        # error (~1e-2 relative) dwarfs the min_eig floor, leaving the
+        # reconstructed covariance indefinite for the KL's cholesky/logdet
+        # — measured as wholesale-NaN chol scores on chip while CPU f32
+        # was finite (probe_vn_decomp.json 2026-08-20, BENCHMARKS round 5)
+        return (
+            jnp.matmul(Lt, Lt.T, precision=jax.lax.Precision.HIGHEST)
+            + floor * eye
+        )
 
     def value_fn(x):
         return kl_divergence(

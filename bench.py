@@ -242,7 +242,15 @@ def bench_vn_total_variance(jax, jnp, cov_param="psd-project"):
     outs = [fn(jax.random.fold_in(key, 2 + t), c)
             for t, c in enumerate(tiles)]
     jax.block_until_ready(outs)
-    return n_cand / (time.perf_counter() - t0)
+    dt = time.perf_counter() - t0
+    # a rate over non-finite scores is not a result (probe_vn_decomp first
+    # caught the chol path returning all-NaN under f32): fail the row into
+    # fault_notes rather than record a meaningless number
+    scores = np.concatenate([np.asarray(o) for o in outs])[:n_cand]
+    if not np.isfinite(scores).any():
+        raise RuntimeError(
+            f"vn {cov_param} scores all non-finite ({n_cand} candidates)")
+    return n_cand / dt
 
 
 def bench_pmf_refit_kernel(jax, jnp, prob, pst, pcfg):
